@@ -1,0 +1,36 @@
+"""64-bit fixed-point cost carried as an (hi, lo) int32 pair.
+
+Costs are bits<<11; a 1 MiB block can exceed 2**31, and enabling global
+x64 in JAX is undesirable on TPU, so totals are held as hi*2**16 + lo with
+0 <= lo < 2**16 after normalization.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+LO_BITS = 16
+LO_MASK = (1 << LO_BITS) - 1
+
+
+def accumulate(hi, lo, delta):
+    """Add a per-packet delta (< 2**30) and renormalize."""
+    lo = lo + delta
+    hi = hi + (lo >> LO_BITS)
+    lo = lo & LO_MASK
+    return hi, lo
+
+
+def less(hi_a, lo_a, hi_b, lo_b):
+    return (hi_a < hi_b) | ((hi_a == hi_b) & (lo_a < lo_b))
+
+
+def to_float(hi, lo):
+    return hi.astype(jnp.float32) * (1 << LO_BITS) + lo.astype(jnp.float32)
+
+
+def to_int(hi, lo) -> int:
+    """Host-side exact integer value."""
+    return int(hi) * (1 << LO_BITS) + int(lo)
+
+
+INF_HI = jnp.int32(2**31 - 1)
