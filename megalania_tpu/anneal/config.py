@@ -1,0 +1,43 @@
+"""Annealer configuration.
+
+Every compile-time constant of the reference driver becomes a field here
+(reference values cited from /root/reference/src/main.c:45-99,
+packet_slab_neighbour.c:64-65, packet_enumerator.c:6-7).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class AnnealConfig:
+    # LZMA properties (reference: lc=lp=pb=0, main.c:45)
+    lc: int = 0
+    lp: int = 0
+    pb: int = 0
+    dict_size: int = 0x400000          # header field (lzma_header_encoder.c:16)
+
+    # schedule (reference: 3 steps x 200 epochs x n iters, main.c:66-69)
+    num_steps: int = 3
+    num_epochs: int = 200              # reference epochs; chains divide this
+    iters_per_epoch: int | None = None  # default: block length n
+
+    # proposal distribution
+    top_k: int = 20                    # beam size (main.c:49)
+    bias_draws: int = 8                # max-of-8 draw bias (neighbour.c:64)
+    force_best_prob: float = 0.125     # 1/8 forced best (neighbour.c:65)
+    boundary_prob: float = 0.5         # boundary-move coin (neighbour.c:122)
+
+    # candidate tables (TPU-native: dense Pareto tables, match/candidates.py)
+    max_candidates: int = 16
+    max_walk: int = 96
+    sublens: int = 3                   # lengths evaluated per candidate
+
+    # parallel structure
+    chains: int = 64                   # parallel annealing chains per block
+    block_size: int = 1 << 16          # block sharding unit (<= 1 MiB)
+
+    seed: int = 1673551                # reference seed (main.c:68)
+
+    def iters(self, n: int) -> int:
+        return self.iters_per_epoch if self.iters_per_epoch else n

@@ -1,0 +1,224 @@
+"""Chain-parallel annealing engine.
+
+The reference anneals one chain serially: 3 steps x 200 epoch-restarts x
+n moves, one full-file re-encode per move (/root/reference/src/main.c:
+66-105).  Here C chains run the same Markov process in lockstep under
+vmap — epochs become the chain axis — with a shared global best updated
+by argmin every iteration and epoch restarts that reseed every chain
+from the best parse (steps 1-2) or from all-literals (step 0), exactly
+mirroring the reference schedule at matched move budget.
+
+Everything inside `run_iters` is one jitted scan: proposal, fused
+repair+cost pass, Metropolis-style acceptance (the reference's cooling
+rule, main.c:86), best tracking, restarts.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..match import candidates as C_
+from ..match.suffix import build_lce
+from ..models import packets as P
+from ..ops import repair_scan, tables as T
+from ..utils import fixedpoint as fp
+from . import moves
+from .config import AnnealConfig
+
+
+class BlockContext(NamedTuple):
+    """Per-block read-only arrays, shared by all chains."""
+    data: jnp.ndarray        # int32[n]
+    rank: jnp.ndarray        # int32[n]
+    sparse: jnp.ndarray      # int32[K, n]
+    cand_dist: jnp.ndarray   # int32[n, M]
+    cand_len: jnp.ndarray    # int32[n, M]
+    cand_count: jnp.ndarray  # int32[n]
+    log2: jnp.ndarray        # int32[2048]
+
+
+class ChainState(NamedTuple):
+    slab: jnp.ndarray        # uint32[C, n]
+    cost_hi: jnp.ndarray     # int32[C]
+    cost_lo: jnp.ndarray     # int32[C]
+    rank_probs: jnp.ndarray  # int32[C, PROBS_PAD]
+    rec_ctx: jnp.ndarray     # int32[C]
+    rec_dists: jnp.ndarray   # int32[C, 4]
+    rec_live: jnp.ndarray    # int32[C]
+    key: jnp.ndarray         # PRNG keys [C]
+
+
+class AnnealState(NamedTuple):
+    chains: ChainState
+    best_slab: jnp.ndarray   # uint32[n]
+    best_hi: jnp.ndarray     # int32
+    best_lo: jnp.ndarray     # int32
+    it_in_epoch: jnp.ndarray  # int32 scalar (shared cooling clock)
+    epochs_done: jnp.ndarray  # int32 scalar
+    moves_done: jnp.ndarray  # int32 scalar (accepted+rejected, all chains)
+
+
+def make_context(data: bytes, cfg: AnnealConfig) -> BlockContext:
+    """Host-side block preprocessing: LCE index + candidate table."""
+    arr = np.frombuffer(bytes(data), np.uint8)
+    idx = build_lce(arr)
+    tab = C_.build_candidates(arr, cfg.max_candidates, cfg.max_walk, idx)
+    return BlockContext(
+        data=jnp.asarray(arr.astype(np.int32)),
+        rank=jnp.asarray(idx.rank),
+        sparse=jnp.asarray(idx.sparse),
+        cand_dist=jnp.asarray(tab.dist),
+        cand_len=jnp.asarray(tab.length),
+        cand_count=jnp.asarray(tab.count),
+        log2=jnp.asarray(T.LOG2_TABLE_I32),
+    )
+
+
+def init_state(ctx: BlockContext, cfg: AnnealConfig) -> AnnealState:
+    """Fresh chains on the all-literal parse, costed once."""
+    n = ctx.data.shape[0]
+    C = cfg.chains
+    slab0 = jnp.asarray(P.literal_slab(n))
+    keys = jax.random.split(jax.random.PRNGKey(cfg.seed), C + 1)
+
+    def boot(key):
+        k_u, key = jax.random.split(key)
+        u = jax.random.randint(k_u, (), 0, n)
+        new_slab, hi, lo, probs, rctx, rdists, rlive = repair_scan.repair_cost(
+            slab0, jnp.int32(n), u, ctx.data, ctx.rank, ctx.sparse, ctx.log2
+        )
+        return new_slab, hi, lo, probs, rctx, rdists, rlive, key
+
+    slabs, hi, lo, probs, rctx, rdists, rlive, keys_out = jax.vmap(boot)(
+        keys[1:]
+    )
+    chains = ChainState(
+        slab=slabs, cost_hi=hi, cost_lo=lo, rank_probs=probs,
+        rec_ctx=rctx, rec_dists=rdists, rec_live=rlive, key=keys_out,
+    )
+    return AnnealState(
+        chains=chains,
+        best_slab=slabs[0],
+        best_hi=hi[0],
+        best_lo=lo[0],
+        it_in_epoch=jnp.int32(0),
+        epochs_done=jnp.int32(0),
+        moves_done=jnp.int32(0),
+    )
+
+
+def _chain_iter(chain: ChainState, ctx: BlockContext, i_cool, step,
+                cfg: AnnealConfig):
+    """One move on one chain (vmapped over the chain axis)."""
+    n = ctx.data.shape[0]
+    key, k_prop, k_u, k_acc = jax.random.split(chain.key, 4)
+
+    fresh = chain.rec_live >= n          # recorded site ran off the end
+    q = jnp.where(fresh, 0, chain.rec_live)
+    rec_ctx = jnp.where(fresh, 0, chain.rec_ctx)
+    rec_dists = jnp.where(fresh, jnp.zeros(4, jnp.int32), chain.rec_dists)
+
+    slab_prop = moves.propose(
+        chain.slab, q, rec_ctx, rec_dists, chain.rank_probs, ctx.data,
+        ctx.rank, ctx.sparse, ctx.cand_dist, ctx.cand_len, ctx.cand_count,
+        k_prop, ctx.log2, top_k=cfg.top_k,
+    )
+    u = jax.random.randint(k_u, (), 0, n)
+    new_slab, hi, lo, probs, rctx, rdists, rlive = repair_scan.repair_cost(
+        slab_prop, q, u, ctx.data, ctx.rank, ctx.sparse, ctx.log2
+    )
+
+    # acceptance: first / better / cooled transition (main.c:86)
+    iters = jnp.float32(cfg.iters(n))
+    i_f = jnp.float32(i_cool)
+    p_trans = jnp.sqrt(iters) / (
+        i_f * i_f + 1.0 + jnp.float32(step) * iters * 0.5
+    )
+    trans = jax.random.uniform(k_acc) < p_trans
+    first = chain.cost_hi == fp.INF_HI
+    better = fp.less(hi, lo, chain.cost_hi, chain.cost_lo)
+    accept = first | better | trans
+
+    slab_cur = jnp.where(accept, new_slab, chain.slab)
+    cost_hi = jnp.where(accept, hi, chain.cost_hi)
+    cost_lo = jnp.where(accept, lo, chain.cost_lo)
+    return ChainState(
+        slab=slab_cur, cost_hi=cost_hi, cost_lo=cost_lo, rank_probs=probs,
+        rec_ctx=rctx, rec_dists=rdists, rec_live=rlive, key=key,
+    )
+
+
+def anneal_iteration(state: AnnealState, ctx: BlockContext,
+                     cfg: AnnealConfig) -> AnnealState:
+    """One lockstep move across all chains + best/restart bookkeeping."""
+    n = ctx.data.shape[0]
+    iters = cfg.iters(n)
+    epochs_per_step = max(
+        1, -(-cfg.num_epochs // cfg.chains)
+    )  # serial epochs folded onto the chain axis
+    step = jnp.minimum(state.epochs_done // epochs_per_step,
+                       cfg.num_steps - 1)
+
+    chains = jax.vmap(
+        lambda ch: _chain_iter(ch, ctx, state.it_in_epoch, step, cfg)
+    )(state.chains)
+
+    # global best (reference keeps one best slab, main.c:89-92)
+    b = jnp.argmin(fp.to_float(chains.cost_hi, chains.cost_lo))
+    cand_hi = chains.cost_hi[b]
+    cand_lo = chains.cost_lo[b]
+    improved = fp.less(cand_hi, cand_lo, state.best_hi, state.best_lo)
+    best_slab = jnp.where(improved, chains.slab[b], state.best_slab)
+    best_hi = jnp.where(improved, cand_hi, state.best_hi)
+    best_lo = jnp.where(improved, cand_lo, state.best_lo)
+
+    # epoch restart (main.c:70-77): step 0 from literals, else from best
+    it = state.it_in_epoch + 1
+    restart = it >= iters
+    lit = jnp.asarray(P.literal_slab(n))
+    # next step after this epoch increments epochs_done
+    next_step = jnp.minimum((state.epochs_done + 1) // epochs_per_step,
+                            cfg.num_steps - 1)
+    reseed = jnp.where(next_step == 0, lit, best_slab)
+    Cn = chains.slab.shape[0]
+    chains = chains._replace(
+        slab=jnp.where(restart, jnp.broadcast_to(reseed, chains.slab.shape),
+                       chains.slab),
+        cost_hi=jnp.where(restart, jnp.full(Cn, fp.INF_HI), chains.cost_hi),
+        cost_lo=jnp.where(restart, jnp.zeros(Cn, jnp.int32), chains.cost_lo),
+        rec_ctx=jnp.where(restart, jnp.zeros(Cn, jnp.int32), chains.rec_ctx),
+        rec_dists=jnp.where(restart, jnp.zeros((Cn, 4), jnp.int32),
+                            chains.rec_dists),
+        rec_live=jnp.where(restart, jnp.zeros(Cn, jnp.int32),
+                           chains.rec_live),
+    )
+    return AnnealState(
+        chains=chains,
+        best_slab=best_slab,
+        best_hi=best_hi,
+        best_lo=best_lo,
+        it_in_epoch=jnp.where(restart, 0, it),
+        epochs_done=state.epochs_done + jnp.where(restart, 1, 0),
+        moves_done=state.moves_done + Cn,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_iters"))
+def run_iters(state: AnnealState, ctx: BlockContext, cfg: AnnealConfig,
+              n_iters: int) -> AnnealState:
+    """n_iters lockstep iterations as one compiled scan."""
+    def body(s, _):
+        return anneal_iteration(s, ctx, cfg), ()
+
+    state, _ = jax.lax.scan(body, state, None, length=n_iters)
+    return state
+
+
+def best_cost_bytes(state: AnnealState) -> float:
+    """Predicted output size in bytes (header 13 + flush 5 + entropy)."""
+    perp = fp.to_int(state.best_hi, state.best_lo)
+    return 18 + perp / 16384.0

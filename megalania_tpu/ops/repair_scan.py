@@ -1,0 +1,168 @@
+"""Fused repair + exact-costing pass: one annealing move's heavy half.
+
+Replaces the reference's encode-prefix / mutate / repair-tail walk
+(/root/reference/src/packet_slab_neighbour.c:82-173) with a single
+functional scan over the (already mutated) slab:
+
+  * positions < q encode as-is;
+  * positions >= q run the repair rules (literal<->short-rep flips by
+    rep0 byte equality, long-rep re-aiming against the live rep stack
+    via O(1) LCE, fallback to literal) before encoding;
+  * the pass emits the repaired slab (with live bits) as its output, so
+    accept/reject is a pure select — no undo stack;
+  * at scan index u it records (ctx, dists, live_pos): the coder state at
+    the next mutation site, consumed by the next iteration's proposer.
+
+Deviation from the reference, by design: an unrepairable long rep falls
+back to literal/short-rep instead of a state-dependent top-K resample
+(which would put candidate search in every scan step); proposal-quality
+impact is absorbed by running many chains.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import bitplan
+from . import tables as T
+from ..match.suffix import lce_jnp
+from ..models import lzma_state as S
+from ..models import packets as P
+from ..utils import fixedpoint as fp
+
+
+class RepairCarry(NamedTuple):
+    probs: jnp.ndarray
+    ctx: jnp.ndarray
+    dists: jnp.ndarray
+    live_pos: jnp.ndarray
+    cost_hi: jnp.ndarray
+    cost_lo: jnp.ndarray
+    since_mut: jnp.ndarray   # live packets processed at/after q
+    rec_ctx: jnp.ndarray
+    rec_dists: jnp.ndarray
+    rec_live: jnp.ndarray
+
+
+def _repair_entry(i, ptype, dist, length, carry: RepairCarry, data, rank,
+                  sparse, n):
+    """Apply the repair rules to one packet under the current state."""
+    d0 = carry.dists[0]
+    mb = data[jnp.clip(i - d0 - 1, 0, n - 1)]
+    srep_ok = (i > 0) & (i >= d0 + 1) & (data[i] == mb)
+    count_ok = carry.since_mut < 4
+    ls_type = jnp.where(
+        srep_ok & count_ok, P.SREP, jnp.where(srep_ok, ptype, P.LIT)
+    )
+
+    # long-rep re-aim: try current index, then stack order 0..3
+    src = jnp.clip(i - carry.dists - 1, 0, n - 1)
+    in_range = carry.dists + 1 <= i
+    lce4 = lce_jnp(rank, sparse, n, jnp.full(4, i, jnp.int32), src)
+    valid4 = in_range & (lce4 >= length)
+    cur_idx = jnp.clip(dist, 0, 3)
+    cur_ok = valid4[cur_idx]
+    first_valid = jnp.argmax(valid4)
+    lrep_ok = cur_ok | valid4.any()
+    lrep_idx = jnp.where(cur_ok, cur_idx, first_valid)
+    fb_type = jnp.where(srep_ok & count_ok, P.SREP, P.LIT)
+
+    is_ls = (ptype == P.LIT) | (ptype == P.SREP)
+    is_lrep = ptype == P.LREP
+    new_type = jnp.where(
+        is_ls, ls_type,
+        jnp.where(is_lrep, jnp.where(lrep_ok, P.LREP, fb_type), ptype),
+    )
+    new_dist = jnp.where(is_lrep & lrep_ok, lrep_idx,
+                         jnp.where(is_ls | is_lrep, 0, dist))
+    new_len = jnp.where(is_lrep & ~lrep_ok, 1,
+                        jnp.where(is_ls, 1, length))
+    return new_type, new_dist, new_len
+
+
+def repair_step(carry: RepairCarry, i, entry, q, u, data, rank, sparse, log2):
+    n = data.shape[0]
+    active = i == carry.live_pos
+
+    # record the coder state for the *next* iteration's mutation site
+    at_u = i == u
+    carry = carry._replace(
+        rec_ctx=jnp.where(at_u, carry.ctx, carry.rec_ctx),
+        rec_dists=jnp.where(at_u, carry.dists, carry.rec_dists),
+        rec_live=jnp.where(at_u, carry.live_pos, carry.rec_live),
+    )
+
+    ptype, dist, length, _ = P.unpack(entry)
+    in_repair = active & (i >= q)
+    r_type, r_dist, r_len = _repair_entry(
+        i, ptype, dist, length, carry, data, rank, sparse, n
+    )
+    ptype = jnp.where(in_repair, r_type, ptype)
+    dist = jnp.where(in_repair, r_dist, dist)
+    length = jnp.where(in_repair, r_len, length)
+
+    byte = data[i]
+    match_byte = data[jnp.clip(i - carry.dists[0] - 1, 0, n - 1)]
+    plan = bitplan.make_bit_plan(
+        ptype, dist, length, carry.ctx, carry.dists, byte, match_byte
+    )
+    plan = plan._replace(
+        active=plan.active & active,
+        n_direct=jnp.where(active, plan.n_direct, 0),
+    )
+    probs, cost = bitplan.apply_plan(carry.probs, plan, log2)
+    hi, lo = fp.accumulate(carry.cost_hi, carry.cost_lo, cost)
+
+    out_entry = jnp.where(
+        active,
+        P.pack(ptype, dist, length, live=1),
+        jnp.asarray(entry, jnp.uint32) & jnp.uint32(~(1 << P.LIVE_SHIFT) & 0xFFFFFFFF),
+    )
+    carry = RepairCarry(
+        probs=probs,
+        ctx=jnp.where(active, S.ctx_next(carry.ctx, ptype), carry.ctx),
+        dists=jnp.where(active, S.dists_next(carry.dists, ptype, dist),
+                        carry.dists),
+        live_pos=carry.live_pos + jnp.where(active, length, 0),
+        cost_hi=hi,
+        cost_lo=lo,
+        since_mut=carry.since_mut + jnp.where(in_repair, 1, 0),
+        rec_ctx=carry.rec_ctx,
+        rec_dists=carry.rec_dists,
+        rec_live=carry.rec_live,
+    )
+    return carry, out_entry
+
+
+def repair_cost(slab, q, u, data, rank, sparse, log2, unroll: int = 4):
+    """Run the fused pass.
+
+    slab: uint32[n] mutated slab; q: repair-from position; u: record site.
+    Returns (new_slab with live bits, cost_hi, cost_lo, final_probs,
+    rec_ctx, rec_dists, rec_live).
+    """
+    n = slab.shape[0]
+    init = RepairCarry(
+        probs=jnp.asarray(T.init_probs_np(), jnp.int32),
+        ctx=jnp.int32(0),
+        dists=jnp.zeros(4, jnp.int32),
+        live_pos=jnp.int32(0),
+        cost_hi=jnp.int32(0),
+        cost_lo=jnp.int32(0),
+        since_mut=jnp.int32(0),
+        rec_ctx=jnp.int32(0),
+        rec_dists=jnp.zeros(4, jnp.int32),
+        rec_live=jnp.int32(0),
+    )
+
+    def step(carry, xs):
+        i, entry = xs
+        return repair_step(carry, i, entry, q, u, data, rank, sparse, log2)
+
+    carry, new_slab = jax.lax.scan(
+        step, init, (jnp.arange(n, dtype=jnp.int32), slab), unroll=unroll
+    )
+    return (new_slab, carry.cost_hi, carry.cost_lo, carry.probs,
+            carry.rec_ctx, carry.rec_dists, carry.rec_live)

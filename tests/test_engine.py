@@ -1,0 +1,69 @@
+"""Anneal engine: end-to-end on small blocks (CPU)."""
+import lzma
+
+import numpy as np
+import pytest
+
+from megalania_tpu.anneal import engine
+from megalania_tpu.anneal.config import AnnealConfig
+from megalania_tpu.models import packets as P
+from megalania_tpu.runtime import pyemit
+from megalania_tpu.utils import fixedpoint as fp
+
+DATA = (b"the quick brown fox jumps over the lazy dog. "
+        b"the quick brown fox jumps over the lazy dog? " * 2)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return AnnealConfig(chains=8, max_candidates=8, max_walk=64, top_k=12)
+
+
+@pytest.fixture(scope="module")
+def annealed(cfg):
+    ctx = engine.make_context(DATA, cfg)
+    state = engine.init_state(ctx, cfg)
+    lit_cost = fp.to_int(state.best_hi, state.best_lo)
+    state = engine.run_iters(state, ctx, cfg, 60)
+    return ctx, state, lit_cost
+
+
+def test_engine_improves_over_literals(annealed):
+    _, state, lit_cost = annealed
+    best = fp.to_int(state.best_hi, state.best_lo)
+    assert best < lit_cost, (best, lit_cost)
+
+
+def test_best_slab_is_valid_and_cost_exact(annealed):
+    _, state, _ = annealed
+    slab = np.asarray(state.best_slab)
+    # emitted stream must decode bit-exactly
+    blob = pyemit.emit(DATA, slab)
+    assert lzma.decompress(blob, format=lzma.FORMAT_ALONE) == DATA
+    # engine's best cost must equal the oracle cost of the best slab
+    want = pyemit.parse_cost(DATA, slab)
+    got = fp.to_int(state.best_hi, state.best_lo)
+    assert got == want
+    # and predict the real size
+    assert abs((18 + got / 16384.0) - len(blob)) < 2.5
+
+
+def test_chain_costs_exact(annealed):
+    """Every chain's current cost must be the exact cost of its slab."""
+    _, state, _ = annealed
+    ch = state.chains
+    for c in range(0, np.asarray(ch.slab).shape[0], 3):
+        hi, lo = int(ch.cost_hi[c]), int(ch.cost_lo[c])
+        if hi == int(fp.INF_HI):
+            continue  # just restarted
+        want = pyemit.parse_cost(DATA, np.asarray(ch.slab[c]))
+        assert fp.to_int(np.int32(hi), np.int32(lo)) == want, c
+
+
+def test_deterministic(cfg):
+    ctx = engine.make_context(DATA, cfg)
+    s1 = engine.run_iters(engine.init_state(ctx, cfg), ctx, cfg, 10)
+    s2 = engine.run_iters(engine.init_state(ctx, cfg), ctx, cfg, 10)
+    assert fp.to_int(s1.best_hi, s1.best_lo) == fp.to_int(s2.best_hi, s2.best_lo)
+    np.testing.assert_array_equal(np.asarray(s1.best_slab),
+                                  np.asarray(s2.best_slab))
