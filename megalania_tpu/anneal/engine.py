@@ -82,19 +82,16 @@ def init_state(ctx: BlockContext, cfg: AnnealConfig) -> AnnealState:
     """Fresh chains on the all-literal parse, costed once."""
     n = ctx.data.shape[0]
     C = cfg.chains
-    slab0 = jnp.asarray(P.literal_slab(n))
-    keys = jax.random.split(jax.random.PRNGKey(cfg.seed), C + 1)
-
-    def boot(key):
-        k_u, key = jax.random.split(key)
-        u = jax.random.randint(k_u, (), 0, n)
-        new_slab, hi, lo, probs, rctx, rdists, rlive = repair_scan.repair_cost(
-            slab0, jnp.int32(n), u, ctx.data, ctx.rank, ctx.sparse, ctx.log2
+    slab0 = jnp.broadcast_to(jnp.asarray(P.literal_slab(n)), (C, n))
+    keys = jax.random.split(jax.random.PRNGKey(cfg.seed), C)
+    ks = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
+    keys_out, k_u = ks[:, 0], ks[:, 1]
+    u = jax.vmap(lambda k: jax.random.randint(k, (), 0, n))(k_u)
+    slabs, hi, lo, probs, rctx, rdists, rlive = (
+        repair_scan.repair_cost_batched(
+            slab0, jnp.full(C, n, jnp.int32), u, ctx.data, ctx.rank,
+            ctx.sparse, ctx.log2,
         )
-        return new_slab, hi, lo, probs, rctx, rdists, rlive, key
-
-    slabs, hi, lo, probs, rctx, rdists, rlive, keys_out = jax.vmap(boot)(
-        keys[1:]
     )
     chains = ChainState(
         slab=slabs, cost_hi=hi, cost_lo=lo, rank_probs=probs,
@@ -111,25 +108,29 @@ def init_state(ctx: BlockContext, cfg: AnnealConfig) -> AnnealState:
     )
 
 
-def _chain_iter(chain: ChainState, ctx: BlockContext, i_cool, step,
-                cfg: AnnealConfig):
-    """One move on one chain (vmapped over the chain axis)."""
+def _chains_iter(chains: ChainState, ctx: BlockContext, i_cool, step,
+                 cfg: AnnealConfig) -> ChainState:
+    """One lockstep move for all C chains (chain-batched, single scan)."""
     n = ctx.data.shape[0]
-    key, k_prop, k_u, k_acc = jax.random.split(chain.key, 4)
+    ks = jax.vmap(lambda k: jax.random.split(k, 4))(chains.key)
+    key_next, k_prop, k_u, k_acc = ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3]
 
-    fresh = chain.rec_live >= n          # recorded site ran off the end
-    q = jnp.where(fresh, 0, chain.rec_live)
-    rec_ctx = jnp.where(fresh, 0, chain.rec_ctx)
-    rec_dists = jnp.where(fresh, jnp.zeros(4, jnp.int32), chain.rec_dists)
+    fresh = chains.rec_live >= n         # recorded site ran off the end
+    q = jnp.where(fresh, 0, chains.rec_live)
+    rec_ctx = jnp.where(fresh, 0, chains.rec_ctx)
+    rec_dists = jnp.where(fresh[:, None], 0, chains.rec_dists)
 
-    slab_prop = moves.propose(
-        chain.slab, q, rec_ctx, rec_dists, chain.rank_probs, ctx.data,
-        ctx.rank, ctx.sparse, ctx.cand_dist, ctx.cand_len, ctx.cand_count,
-        k_prop, ctx.log2, top_k=cfg.top_k,
-    )
-    u = jax.random.randint(k_u, (), 0, n)
-    new_slab, hi, lo, probs, rctx, rdists, rlive = repair_scan.repair_cost(
-        slab_prop, q, u, ctx.data, ctx.rank, ctx.sparse, ctx.log2
+    slab_prop = jax.vmap(
+        functools.partial(moves.propose, top_k=cfg.top_k),
+        in_axes=(0, 0, 0, 0, 0, None, None, None, None, None, None, 0, None),
+    )(chains.slab, q, rec_ctx, rec_dists, chains.rank_probs, ctx.data,
+      ctx.rank, ctx.sparse, ctx.cand_dist, ctx.cand_len, ctx.cand_count,
+      k_prop, ctx.log2)
+    u = jax.vmap(lambda k: jax.random.randint(k, (), 0, n))(k_u)
+    new_slab, hi, lo, probs, rctx, rdists, rlive = (
+        repair_scan.repair_cost_batched(
+            slab_prop, q, u, ctx.data, ctx.rank, ctx.sparse, ctx.log2,
+        )
     )
 
     # acceptance: first / better / cooled transition (main.c:86)
@@ -138,17 +139,17 @@ def _chain_iter(chain: ChainState, ctx: BlockContext, i_cool, step,
     p_trans = jnp.sqrt(iters) / (
         i_f * i_f + 1.0 + jnp.float32(step) * iters * 0.5
     )
-    trans = jax.random.uniform(k_acc) < p_trans
-    first = chain.cost_hi == fp.INF_HI
-    better = fp.less(hi, lo, chain.cost_hi, chain.cost_lo)
+    trans = jax.vmap(jax.random.uniform)(k_acc) < p_trans
+    first = chains.cost_hi == fp.INF_HI
+    better = fp.less(hi, lo, chains.cost_hi, chains.cost_lo)
     accept = first | better | trans
 
-    slab_cur = jnp.where(accept, new_slab, chain.slab)
-    cost_hi = jnp.where(accept, hi, chain.cost_hi)
-    cost_lo = jnp.where(accept, lo, chain.cost_lo)
+    slab_cur = jnp.where(accept[:, None], new_slab, chains.slab)
+    cost_hi = jnp.where(accept, hi, chains.cost_hi)
+    cost_lo = jnp.where(accept, lo, chains.cost_lo)
     return ChainState(
         slab=slab_cur, cost_hi=cost_hi, cost_lo=cost_lo, rank_probs=probs,
-        rec_ctx=rctx, rec_dists=rdists, rec_live=rlive, key=key,
+        rec_ctx=rctx, rec_dists=rdists, rec_live=rlive, key=key_next,
     )
 
 
@@ -163,9 +164,7 @@ def anneal_iteration(state: AnnealState, ctx: BlockContext,
     step = jnp.minimum(state.epochs_done // epochs_per_step,
                        cfg.num_steps - 1)
 
-    chains = jax.vmap(
-        lambda ch: _chain_iter(ch, ctx, state.it_in_epoch, step, cfg)
-    )(state.chains)
+    chains = _chains_iter(state.chains, ctx, state.it_in_epoch, step, cfg)
 
     # global best (reference keeps one best slab, main.c:89-92)
     b = jnp.argmin(fp.to_float(chains.cost_hi, chains.cost_lo))
@@ -210,11 +209,17 @@ def anneal_iteration(state: AnnealState, ctx: BlockContext,
 @functools.partial(jax.jit, static_argnames=("cfg", "n_iters"))
 def run_iters(state: AnnealState, ctx: BlockContext, cfg: AnnealConfig,
               n_iters: int) -> AnnealState:
-    """n_iters lockstep iterations as one compiled scan."""
-    def body(s, _):
-        return anneal_iteration(s, ctx, cfg), ()
+    """n_iters lockstep iterations as one compiled scan.
 
-    state, _ = jax.lax.scan(body, state, None, length=n_iters)
+    The block context rides the scan carry (unchanged each step) so its
+    tables are never loop-invariant operands — see the performance
+    contract in repair_scan.repair_cost_batched.
+    """
+    def body(carry, _):
+        s, c = carry
+        return (anneal_iteration(s, c, cfg), c), ()
+
+    (state, _), _ = jax.lax.scan(body, (state, ctx), None, length=n_iters)
     return state
 
 

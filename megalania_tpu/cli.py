@@ -1,0 +1,89 @@
+"""CLI: the reference's `megalania filename` interface, extended.
+
+`python -m megalania_tpu.cli compress FILE` writes the compressed stream
+to stdout and progress to stderr, like /root/reference/src/main.c:28-99;
+plus decompress/verify subcommands and config flags for every knob.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from .anneal.config import AnnealConfig
+from . import compressor
+
+
+def _progress_printer(t0):
+    def cb(info):
+        sys.stderr.write(
+            "block %d/%d  current file size: %.2f  iter %d/%d  "
+            "epochs: %d  moves: %d  %.1fs\n" % (
+                info.get("block", 0) + 1, info.get("blocks", 1),
+                info["best_bytes"], info["iter"], info["iters"],
+                info["epochs"], info["moves"], time.time() - t0,
+            )
+        )
+    return cb
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="megalania-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("compress", help="anneal-compress a file")
+    c.add_argument("file")
+    c.add_argument("-o", "--output", default="-")
+    c.add_argument("--chains", type=int, default=64)
+    c.add_argument("--block-size", type=int, default=1 << 16)
+    c.add_argument("--moves", type=int, default=None,
+                   help="total anneal moves (default: reference budget)")
+    c.add_argument("--top-k", type=int, default=20)
+    c.add_argument("--seed", type=int, default=1673551)
+    c.add_argument("--quiet", action="store_true")
+
+    d = sub.add_parser("decompress", help="decode .lzma/.mlz")
+    d.add_argument("file")
+    d.add_argument("-o", "--output", default="-")
+
+    v = sub.add_parser("verify", help="round-trip check")
+    v.add_argument("original")
+    v.add_argument("compressed")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "compress":
+        data = open(args.file, "rb").read()
+        cfg = AnnealConfig(
+            chains=args.chains, block_size=args.block_size,
+            top_k=args.top_k, seed=args.seed,
+        )
+        progress = None if args.quiet else _progress_printer(time.time())
+        blob = compressor.compress(data, cfg, total_moves=args.moves,
+                                   progress=progress)
+        out = sys.stdout.buffer if args.output == "-" else open(
+            args.output, "wb")
+        out.write(blob)
+        out.flush()
+        sys.stderr.write(
+            "in: %d bytes  out: %d bytes  ratio: %.4f\n"
+            % (len(data), len(blob), len(blob) / max(len(data), 1))
+        )
+    elif args.cmd == "decompress":
+        blob = open(args.file, "rb").read()
+        data = compressor.decompress(blob)
+        out = sys.stdout.buffer if args.output == "-" else open(
+            args.output, "wb")
+        out.write(data)
+        out.flush()
+    else:
+        original = open(args.original, "rb").read()
+        blob = open(args.compressed, "rb").read()
+        ok = compressor.decompress(blob) == original
+        print("OK" if ok else "MISMATCH")
+        return 0 if ok else 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -46,7 +46,7 @@ def emit_plan(slab, data):
 
     init = (jnp.int32(0), jnp.zeros(4, jnp.int32), jnp.int32(0))
     _, outs = jax.lax.scan(
-        step, init, (jnp.arange(n, dtype=jnp.int32), slab), unroll=4
+        step, init, (jnp.arange(n, dtype=jnp.int32), slab), unroll=1
     )
     return outs
 

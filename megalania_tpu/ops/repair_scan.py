@@ -136,33 +136,64 @@ def repair_step(carry: RepairCarry, i, entry, q, u, data, rank, sparse, log2):
     return carry, out_entry
 
 
-def repair_cost(slab, q, u, data, rank, sparse, log2, unroll: int = 4):
-    """Run the fused pass.
+def _init_carry(C: int) -> RepairCarry:
+    return RepairCarry(
+        probs=jnp.broadcast_to(jnp.asarray(T.init_probs_np(), jnp.int32),
+                               (C, T.PROBS_PAD)),
+        ctx=jnp.zeros(C, jnp.int32),
+        dists=jnp.zeros((C, 4), jnp.int32),
+        live_pos=jnp.zeros(C, jnp.int32),
+        cost_hi=jnp.zeros(C, jnp.int32),
+        cost_lo=jnp.zeros(C, jnp.int32),
+        since_mut=jnp.zeros(C, jnp.int32),
+        rec_ctx=jnp.zeros(C, jnp.int32),
+        rec_dists=jnp.zeros((C, 4), jnp.int32),
+        rec_live=jnp.zeros(C, jnp.int32),
+    )
 
-    slab: uint32[n] mutated slab; q: repair-from position; u: record site.
-    Returns (new_slab with live bits, cost_hi, cost_lo, final_probs,
-    rec_ctx, rec_dists, rec_live).
+
+def repair_cost_batched(slabs, q, u, data, rank, sparse, log2,
+                        unroll: int = 1):
+    """Run the fused pass for C chains in one scan.
+
+    slabs: uint32[C, n] mutated slabs; q, u: int32[C].
+
+    PERFORMANCE CONTRACT (measured on TPU): gathers with traced indices
+    from *loop-invariant* arrays inside lax.scan hit a ~120us/step slow
+    path on the axon backend, while gathers from carry-resident arrays
+    run at full speed — so every indexed table (data/rank/sparse/log2)
+    is threaded through the scan carry, and chains are batched inside
+    ONE scan rather than vmapping the scan per chain (which would leave
+    the shared tables loop-invariant).
+
+    Returns (new_slabs [C,n] with live bits, cost_hi[C], cost_lo[C],
+    final_probs [C,P], rec_ctx[C], rec_dists[C,4], rec_live[C]).
     """
-    n = slab.shape[0]
-    init = RepairCarry(
-        probs=jnp.asarray(T.init_probs_np(), jnp.int32),
-        ctx=jnp.int32(0),
-        dists=jnp.zeros(4, jnp.int32),
-        live_pos=jnp.int32(0),
-        cost_hi=jnp.int32(0),
-        cost_lo=jnp.int32(0),
-        since_mut=jnp.int32(0),
-        rec_ctx=jnp.int32(0),
-        rec_dists=jnp.zeros(4, jnp.int32),
-        rec_live=jnp.int32(0),
-    )
+    C, n = slabs.shape
+    init = (_init_carry(C), (data, rank, sparse, log2))
 
-    def step(carry, xs):
-        i, entry = xs
-        return repair_step(carry, i, entry, q, u, data, rank, sparse, log2)
+    def step(carry_tab, xs):
+        carry, (d, rk, sp, lg) = carry_tab
+        i, entries = xs
+        body = jax.vmap(
+            repair_step,
+            in_axes=(0, None, 0, 0, 0, None, None, None, None),
+        )
+        carry, outs = body(carry, i, entries, q, u, d, rk, sp, lg)
+        return (carry, (d, rk, sp, lg)), outs
 
-    carry, new_slab = jax.lax.scan(
-        step, init, (jnp.arange(n, dtype=jnp.int32), slab), unroll=unroll
+    (carry, _), new_slabs = jax.lax.scan(
+        step, init,
+        (jnp.arange(n, dtype=jnp.int32), jnp.transpose(slabs)),
+        unroll=unroll,
     )
-    return (new_slab, carry.cost_hi, carry.cost_lo, carry.probs,
-            carry.rec_ctx, carry.rec_dists, carry.rec_live)
+    return (jnp.transpose(new_slabs), carry.cost_hi, carry.cost_lo,
+            carry.probs, carry.rec_ctx, carry.rec_dists, carry.rec_live)
+
+
+def repair_cost(slab, q, u, data, rank, sparse, log2, unroll: int = 1):
+    """Single-chain convenience wrapper over the batched pass."""
+    outs = repair_cost_batched(slab[None], jnp.asarray(q, jnp.int32)[None],
+                               jnp.asarray(u, jnp.int32)[None], data, rank,
+                               sparse, log2, unroll=unroll)
+    return tuple(o[0] for o in outs)

@@ -70,7 +70,7 @@ def packet_step(carry: CostCarry, i, entry, data, log2):
     ), active
 
 
-def parse_cost(slab, data, log2, unroll: int = 4):
+def parse_cost(slab, data, log2, unroll: int = 1):
     """Exact cost of one parse.
 
     slab: uint32[n] packed packets; data: int32[n] bytes; log2: the cost
@@ -96,5 +96,5 @@ def parse_cost(slab, data, log2, unroll: int = 4):
 _parse_cost_jit = jax.jit(parse_cost, static_argnames=("unroll",))
 
 
-def parse_cost_jit(slab, data, unroll: int = 4):
+def parse_cost_jit(slab, data, unroll: int = 1):
     return _parse_cost_jit(slab, data, jnp.asarray(T.LOG2_TABLE_I32), unroll=unroll)
