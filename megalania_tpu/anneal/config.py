@@ -37,6 +37,10 @@ class AnnealConfig:
     chains: int = 64                   # parallel annealing chains per block
     block_size: int = 1 << 16          # block sharding unit (<= 1 MiB)
 
+    # kernel selection for the fused repair+cost pass
+    kernel: str = "auto"               # "auto" | "pallas" | "xla"
+    chain_block: int = 256             # chains per Pallas kernel grid step
+
     seed: int = 1673551                # reference seed (main.c:68)
 
     def iters(self, n: int) -> int:

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..match import candidates as C_
 from ..match.suffix import build_lce
 from ..models import packets as P
-from ..ops import repair_scan, tables as T
+from ..ops import pallas_repair, repair_scan, tables as T
 from ..utils import fixedpoint as fp
 from . import moves
 from .config import AnnealConfig
@@ -39,6 +39,33 @@ class BlockContext(NamedTuple):
     cand_len: jnp.ndarray    # int32[n, M]
     cand_count: jnp.ndarray  # int32[n]
     log2: jnp.ndarray        # int32[2048]
+    data_packed: jnp.ndarray  # int32[1, ceil(n/4) padded] (pallas kernel)
+    corr: jnp.ndarray        # int32[1, 128] packed log2 correction
+
+
+def resolve_kernel(cfg: AnnealConfig) -> str:
+    """'pallas' on a real TPU backend, 'xla' elsewhere, unless forced.
+
+    The Pallas kernel needs the chain count to be a sublane multiple.
+    """
+    if cfg.kernel != "auto":
+        return cfg.kernel
+    if cfg.chains % 8 != 0:
+        return "xla"
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def _repair_cost(state_slabs, q, u, ctx: BlockContext, cfg: AnnealConfig):
+    """Dispatch the fused repair+cost pass to the configured kernel."""
+    if resolve_kernel(cfg) == "pallas":
+        return pallas_repair.repair_cost_pallas(
+            state_slabs, q, u, ctx.data, ctx.data_packed, ctx.cand_dist,
+            ctx.cand_len, ctx.corr, cb=cfg.chain_block,
+            interpret=jax.default_backend() != "tpu",
+        )
+    return repair_scan.repair_cost_batched(
+        state_slabs, q, u, ctx.data, ctx.cand_dist, ctx.cand_len, ctx.log2,
+    )
 
 
 class ChainState(NamedTuple):
@@ -67,6 +94,8 @@ def make_context(data: bytes, cfg: AnnealConfig) -> BlockContext:
     arr = np.frombuffer(bytes(data), np.uint8)
     idx = build_lce(arr)
     tab = C_.build_candidates(arr, cfg.max_candidates, cfg.max_walk, idx)
+    corr = pallas_repair.log2_correction(
+        interpret=jax.default_backend() != "tpu")
     return BlockContext(
         data=jnp.asarray(arr.astype(np.int32)),
         rank=jnp.asarray(idx.rank),
@@ -75,6 +104,8 @@ def make_context(data: bytes, cfg: AnnealConfig) -> BlockContext:
         cand_len=jnp.asarray(tab.length),
         cand_count=jnp.asarray(tab.count),
         log2=jnp.asarray(T.LOG2_TABLE_I32),
+        data_packed=jnp.asarray(pallas_repair.pack_data_words(arr)),
+        corr=jnp.asarray(corr),
     )
 
 
@@ -87,11 +118,8 @@ def init_state(ctx: BlockContext, cfg: AnnealConfig) -> AnnealState:
     ks = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
     keys_out, k_u = ks[:, 0], ks[:, 1]
     u = jax.vmap(lambda k: jax.random.randint(k, (), 0, n))(k_u)
-    slabs, hi, lo, probs, rctx, rdists, rlive = (
-        repair_scan.repair_cost_batched(
-            slab0, jnp.full(C, n, jnp.int32), u, ctx.data, ctx.rank,
-            ctx.sparse, ctx.log2,
-        )
+    slabs, hi, lo, probs, rctx, rdists, rlive = _repair_cost(
+        slab0, jnp.full(C, n, jnp.int32), u, ctx, cfg
     )
     chains = ChainState(
         slab=slabs, cost_hi=hi, cost_lo=lo, rank_probs=probs,
@@ -127,10 +155,8 @@ def _chains_iter(chains: ChainState, ctx: BlockContext, i_cool, step,
       ctx.rank, ctx.sparse, ctx.cand_dist, ctx.cand_len, ctx.cand_count,
       k_prop, ctx.log2)
     u = jax.vmap(lambda k: jax.random.randint(k, (), 0, n))(k_u)
-    new_slab, hi, lo, probs, rctx, rdists, rlive = (
-        repair_scan.repair_cost_batched(
-            slab_prop, q, u, ctx.data, ctx.rank, ctx.sparse, ctx.log2,
-        )
+    new_slab, hi, lo, probs, rctx, rdists, rlive = _repair_cost(
+        slab_prop, q, u, ctx, cfg
     )
 
     # acceptance: first / better / cooled transition (main.c:86)

@@ -6,17 +6,26 @@ functional scan over the (already mutated) slab:
 
   * positions < q encode as-is;
   * positions >= q run the repair rules (literal<->short-rep flips by
-    rep0 byte equality, long-rep re-aiming against the live rep stack
-    via O(1) LCE, fallback to literal) before encoding;
+    rep0 byte equality, long-rep re-aiming against the live rep stack,
+    fallback to literal) before encoding;
   * the pass emits the repaired slab (with live bits) as its output, so
     accept/reject is a pure select — no undo stack;
   * at scan index u it records (ctx, dists, live_pos): the coder state at
     the next mutation site, consumed by the next iteration's proposer.
 
-Deviation from the reference, by design: an unrepairable long rep falls
-back to literal/short-rep instead of a state-dependent top-K resample
-(which would put candidate search in every scan step); proposal-quality
-impact is absorbed by running many chains.
+Deviations from the reference, by design:
+  * an unrepairable long rep falls back to literal/short-rep instead of
+    a state-dependent top-K resample (which would put candidate search
+    in every scan step); proposal-quality impact is absorbed by running
+    many chains;
+  * long-rep validity is checked against the precomputed per-position
+    Pareto candidate table (shared row read) instead of an exact LCE
+    query (per-chain gathers into [K, n] tables).  A rep distance absent
+    from the table is treated as invalid — a safe false negative: the
+    parse stays valid, the move is just slightly more conservative.
+    This keeps the semantics identical between this scan and the fused
+    Pallas kernel (ops/pallas_repair.py), which cannot afford wide
+    per-chain gathers in its inner loop.
 """
 from __future__ import annotations
 
@@ -27,7 +36,6 @@ import jax.numpy as jnp
 
 from . import bitplan
 from . import tables as T
-from ..match.suffix import lce_jnp
 from ..models import lzma_state as S
 from ..models import packets as P
 from ..utils import fixedpoint as fp
@@ -46,9 +54,13 @@ class RepairCarry(NamedTuple):
     rec_live: jnp.ndarray
 
 
-def _repair_entry(i, ptype, dist, length, carry: RepairCarry, data, rank,
-                  sparse, n):
-    """Apply the repair rules to one packet under the current state."""
+def _repair_entry(i, ptype, dist, length, carry: RepairCarry, data,
+                  cand_d_row, cand_l_row, n):
+    """Apply the repair rules to one packet under the current state.
+
+    cand_d_row/cand_l_row: the [M] candidate-table row at position i
+    (length 0 marks an empty slot), shared by all chains.
+    """
     d0 = carry.dists[0]
     mb = data[jnp.clip(i - d0 - 1, 0, n - 1)]
     srep_ok = (i > 0) & (i >= d0 + 1) & (data[i] == mb)
@@ -57,11 +69,16 @@ def _repair_entry(i, ptype, dist, length, carry: RepairCarry, data, rank,
         srep_ok & count_ok, P.SREP, jnp.where(srep_ok, ptype, P.LIT)
     )
 
-    # long-rep re-aim: try current index, then stack order 0..3
-    src = jnp.clip(i - carry.dists - 1, 0, n - 1)
+    # long-rep re-aim: try current index, then stack order 0..3;
+    # validity = the stack distance appears in the candidate row with
+    # sufficient extension (false negatives allowed, see module doc)
     in_range = carry.dists + 1 <= i
-    lce4 = lce_jnp(rank, sparse, n, jnp.full(4, i, jnp.int32), src)
-    valid4 = in_range & (lce4 >= length)
+    hit4 = jnp.any(
+        (cand_d_row[None, :] == carry.dists[:, None])
+        & (cand_l_row[None, :] >= length),
+        axis=1,
+    )
+    valid4 = in_range & hit4
     cur_idx = jnp.clip(dist, 0, 3)
     cur_ok = valid4[cur_idx]
     first_valid = jnp.argmax(valid4)
@@ -82,7 +99,8 @@ def _repair_entry(i, ptype, dist, length, carry: RepairCarry, data, rank,
     return new_type, new_dist, new_len
 
 
-def repair_step(carry: RepairCarry, i, entry, q, u, data, rank, sparse, log2):
+def repair_step(carry: RepairCarry, i, entry, q, u, data, cand_d_row,
+                cand_l_row, log2):
     n = data.shape[0]
     active = i == carry.live_pos
 
@@ -97,7 +115,7 @@ def repair_step(carry: RepairCarry, i, entry, q, u, data, rank, sparse, log2):
     ptype, dist, length, _ = P.unpack(entry)
     in_repair = active & (i >= q)
     r_type, r_dist, r_len = _repair_entry(
-        i, ptype, dist, length, carry, data, rank, sparse, n
+        i, ptype, dist, length, carry, data, cand_d_row, cand_l_row, n
     )
     ptype = jnp.where(in_repair, r_type, ptype)
     dist = jnp.where(in_repair, r_dist, dist)
@@ -152,48 +170,52 @@ def _init_carry(C: int) -> RepairCarry:
     )
 
 
-def repair_cost_batched(slabs, q, u, data, rank, sparse, log2,
+def repair_cost_batched(slabs, q, u, data, cand_dist, cand_len, log2,
                         unroll: int = 1):
     """Run the fused pass for C chains in one scan.
 
-    slabs: uint32[C, n] mutated slabs; q, u: int32[C].
+    slabs: uint32[C, n] mutated slabs; q, u: int32[C];
+    cand_dist/cand_len: int32[n, M] candidate table (len 0 = empty slot).
 
     PERFORMANCE CONTRACT (measured on TPU): gathers with traced indices
     from *loop-invariant* arrays inside lax.scan hit a ~120us/step slow
     path on the axon backend, while gathers from carry-resident arrays
-    run at full speed — so every indexed table (data/rank/sparse/log2)
-    is threaded through the scan carry, and chains are batched inside
-    ONE scan rather than vmapping the scan per chain (which would leave
-    the shared tables loop-invariant).
+    run at full speed — so every indexed table (data/log2) is threaded
+    through the scan carry, and chains are batched inside ONE scan
+    rather than vmapping the scan per chain (which would leave the
+    shared tables loop-invariant).  The candidate table rows ride the
+    scan's xs (one row per step), never a gather at all.
 
     Returns (new_slabs [C,n] with live bits, cost_hi[C], cost_lo[C],
     final_probs [C,P], rec_ctx[C], rec_dists[C,4], rec_live[C]).
     """
     C, n = slabs.shape
-    init = (_init_carry(C), (data, rank, sparse, log2))
+    init = (_init_carry(C), (data, log2))
 
     def step(carry_tab, xs):
-        carry, (d, rk, sp, lg) = carry_tab
-        i, entries = xs
+        carry, (d, lg) = carry_tab
+        i, entries, cd_row, cl_row = xs
         body = jax.vmap(
             repair_step,
             in_axes=(0, None, 0, 0, 0, None, None, None, None),
         )
-        carry, outs = body(carry, i, entries, q, u, d, rk, sp, lg)
-        return (carry, (d, rk, sp, lg)), outs
+        carry, outs = body(carry, i, entries, q, u, d, cd_row, cl_row, lg)
+        return (carry, (d, lg)), outs
 
     (carry, _), new_slabs = jax.lax.scan(
         step, init,
-        (jnp.arange(n, dtype=jnp.int32), jnp.transpose(slabs)),
+        (jnp.arange(n, dtype=jnp.int32), jnp.transpose(slabs),
+         cand_dist, cand_len),
         unroll=unroll,
     )
     return (jnp.transpose(new_slabs), carry.cost_hi, carry.cost_lo,
             carry.probs, carry.rec_ctx, carry.rec_dists, carry.rec_live)
 
 
-def repair_cost(slab, q, u, data, rank, sparse, log2, unroll: int = 1):
+def repair_cost(slab, q, u, data, cand_dist, cand_len, log2,
+                unroll: int = 1):
     """Single-chain convenience wrapper over the batched pass."""
     outs = repair_cost_batched(slab[None], jnp.asarray(q, jnp.int32)[None],
-                               jnp.asarray(u, jnp.int32)[None], data, rank,
-                               sparse, log2, unroll=unroll)
+                               jnp.asarray(u, jnp.int32)[None], data,
+                               cand_dist, cand_len, log2, unroll=unroll)
     return tuple(o[0] for o in outs)

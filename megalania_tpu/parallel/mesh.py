@@ -93,14 +93,16 @@ def sharded_step(mesh: Mesh, cfg: AnnealConfig, n_iters: int):
         data=PSpec(BLOCK_AXIS), rank=PSpec(BLOCK_AXIS),
         sparse=PSpec(BLOCK_AXIS), cand_dist=PSpec(BLOCK_AXIS),
         cand_len=PSpec(BLOCK_AXIS), cand_count=PSpec(BLOCK_AXIS),
-        # log2 is stacked per block like the rest of the context so
+        # log2/corr are stacked per block like the rest of the context so
         # the inner vmap sees uniform leading dims; XLA dedups the copies
         log2=PSpec(BLOCK_AXIS),
+        data_packed=PSpec(BLOCK_AXIS),
+        corr=PSpec(BLOCK_AXIS),
     )
 
     def per_block(state, ctx):
         # inside shard_map: leading block dim is the local shard (size
-        # B/b); vmap over it; scalars lose their block dim per-лblock
+        # B/b); vmap over it; scalars lose their block dim per-block
         return jax.vmap(
             lambda s, c: _local_step(s, c, cfg, n_iters)
         )(state, ctx)
