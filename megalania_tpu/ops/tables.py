@@ -23,7 +23,10 @@ PROB_INIT = PROB_ONE // 2      # 1024
 MOVE_BITS = 5                  # adaptation shift
 
 NUM_STATES = 12                # ctx-state machine size
-POS_BITS_MAX = 4               # position-context bits reserved in layout
+# pb=0 (the reference hardcodes it too, main.c:45) => pos_state is always 0,
+# so no position-context lanes are reserved: IS_MATCH/IS_REP0_LONG compact to
+# one slot per ctx-state.  A pb>0 extension would raise this to `pb`.
+POS_BITS_MAX = 0
 
 MATCH_LEN_MIN = 2
 MATCH_LEN_MAX = 273
@@ -38,13 +41,16 @@ IS_REP_G1 = IS_REP_G0 + NUM_STATES                        # [12]
 IS_REP_G2 = IS_REP_G1 + NUM_STATES                        # [12]
 IS_REP0_LONG = IS_REP_G2 + NUM_STATES                     # [12 << 4]
 
-# Length coder: choice1, choice2, low[16][8], mid[16][8], high[256] = 514
+# Length coder: choice1, choice2, low[8], mid[8], high[256].  pb=0 means a
+# single position context, so the 16 pos-context copies of the low/mid trees
+# in the generic LZMA layout collapse to one (the reference reserves them but
+# also only ever uses pos ctx 0, src/lzma_packet_encoder.c:44 todo).
 LEN_CHOICE1 = 0
 LEN_CHOICE2 = 1
-LEN_LOW = 2                    # 16 pos-contexts x 8 tree slots
-LEN_MID = LEN_LOW + 16 * 8     # 130
-LEN_HIGH = LEN_MID + 16 * 8    # 258
-LEN_CODER_SIZE = LEN_HIGH + 256  # 514
+LEN_LOW = 2                    # 8 tree slots (nodes 1..7 used)
+LEN_MID = LEN_LOW + 8          # 10
+LEN_HIGH = LEN_MID + 8         # 18
+LEN_CODER_SIZE = LEN_HIGH + 256 + 6  # 280: +6 pad keeps groups 8-aligned
 
 LEN = IS_REP0_LONG + (NUM_STATES << POS_BITS_MAX)         # match lengths
 REP_LEN = LEN + LEN_CODER_SIZE                            # rep lengths
@@ -54,13 +60,19 @@ DIST_SLOT = REP_LEN + LEN_CODER_SIZE
 ALIGN = DIST_SLOT + 4 * 64
 POS_CODER = ALIGN + 16         # 1 + 128 - 14 = 115 slots
 
-LIT = POS_CODER + 115          # literal coder, 0x300 slots (lc=lp=0)
+LIT = POS_CODER + 120          # literal coder, 0x300 slots (lc=lp=0);
+#                                115 pos_coder slots + 5 alignment pad
 
-NUM_PROBS = LIT + 0x300        # == 2615, matches the reference model size
-PROBS_PAD = 2688               # pad to a multiple of 128 lanes
+NUM_PROBS = LIT + 0x300        # 1792: the reference's 2615-prob model minus
+#                                the pos-context and pos-state copies that
+#                                pb=0 leaves permanently unused
+PROBS_PAD = 1920               # pad: multiple of 128 lanes / 8 sublanes,
+#                                with head-room for DEAD_SLOT
 DEAD_SLOT = PROBS_PAD - 1      # scatter target for masked-out bit ops
 
-assert NUM_PROBS == 2615
+assert NUM_PROBS == 1792
+assert LIT % 8 == 0 and LEN % 8 == 0 and REP_LEN % 8 == 0
+assert DIST_SLOT % 8 == 0 and ALIGN % 8 == 0 and POS_CODER % 8 == 0
 assert DEAD_SLOT >= NUM_PROBS
 
 # ---------------------------------------------------------------------------

@@ -4,7 +4,9 @@ from megalania_tpu.ops import tables as T
 
 
 def test_layout_totals():
-    assert T.NUM_PROBS == 2615
+    # 1792 = the reference's 2615-prob model minus the pos-context and
+    # pos-state copies that pb=0 leaves permanently unused (tables.py)
+    assert T.NUM_PROBS == 1792
     assert T.LIT + 0x300 == T.NUM_PROBS
     assert T.DEAD_SLOT >= T.NUM_PROBS
     # group boundaries are disjoint and ordered
