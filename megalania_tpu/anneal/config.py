@@ -39,7 +39,9 @@ class AnnealConfig:
 
     # kernel selection for the fused repair+cost pass
     kernel: str = "auto"               # "auto" | "pallas" | "xla"
-    chain_block: int = 256             # chains per Pallas kernel grid step
+    chain_block: int = 128             # chains per Pallas kernel grid step
+    #   (128 keeps the n=2048 working set within the 16 MiB VMEM budget:
+    #    slabT in+out + probs + candidate tables ~ 6 MiB at cb=128)
 
     seed: int = 1673551                # reference seed (main.c:68)
 

@@ -237,14 +237,6 @@ def _make_plan(ptype, dist, length, ctx, byte, mb, CB):
 
 
 
-def _selk(cond, a, b):
-    """where(cond, a, b) for a [CB,1] bool cond and [CB,k] int operands —
-    Mosaic cannot broadcast an i1 vector across lanes, so select via
-    exact 0/1 integer arithmetic."""
-    ci = cond.astype(jnp.int32)
-    return b + (a - b) * ci
-
-
 # ---------------------------------------------------------------------------
 # The kernel
 # ---------------------------------------------------------------------------
@@ -257,14 +249,17 @@ def _kernel(slabT_ref, qu_ref, data_ref, dpk_ref, cand_d_ref, cand_l_ref,
     lanesP = jax.lax.broadcasted_iota(jnp.int32, (CB, P_PAD), 1)
     lanes4 = jax.lax.broadcasted_iota(jnp.int32, (CB, n4), 1)
     lanesC = jax.lax.broadcasted_iota(jnp.int32, (CB, 128), 1)
-    iota4 = jax.lax.broadcasted_iota(jnp.int32, (CB, 4), 1)
     dpk = dpk_ref[:]                                           # [1, n4]
     corr = corr_ref[:]                                         # [1, 128]
 
     probs0 = jnp.where(lanesP < T.NUM_PROBS, T.PROB_INIT, 0).astype(jnp.int32)
     zc = jnp.zeros((CB, 1), jnp.int32)
-    carry0 = (probs0, zc, jnp.zeros((CB, 4), jnp.int32), zc, zc, zc, zc,
-              zc, jnp.zeros((CB, 4), jnp.int32), zc)
+    # the 4-deep rep-distance stacks ride the carry as four separate
+    # [CB, 1] columns: [CB, 4] vectors in the loop carry trip a Mosaic
+    # relayout failure ("non-singleton dim replicated in destination")
+    # when layout inference disagrees across the back-edge.
+    carry0 = (probs0, zc, (zc, zc, zc, zc), zc, zc, zc, zc,
+              zc, (zc, zc, zc, zc), zc)
 
     def body(i, carry):
         (probs, ctx, dists, live, hi, lo, since, rctx, rdists, rlive) = carry
@@ -278,7 +273,8 @@ def _kernel(slabT_ref, qu_ref, data_ref, dpk_ref, cand_d_ref, cand_l_ref,
         active = live == i
         at_u = u == i
         rctx = jnp.where(at_u, ctx, rctx)
-        rdists = _selk(at_u, dists, rdists)
+        rdists = tuple(jnp.where(at_u, dists[j], rdists[j])
+                       for j in range(4))
         rlive = jnp.where(at_u, live, rlive)
 
         ptype = ((entry >> P.TYPE_SHIFT) & P.TYPE_MASK).astype(jnp.int32)
@@ -286,7 +282,7 @@ def _kernel(slabT_ref, qu_ref, data_ref, dpk_ref, cand_d_ref, cand_l_ref,
         length = ((entry >> P.LEN_SHIFT) & P.LEN_MASK).astype(jnp.int32)
 
         # rep0 match byte via the packed-word gather
-        d0 = dists[:, 0:1]
+        d0 = dists[0]
         jpos = jnp.clip(i - d0 - 1, 0, n - 1)
         word = jnp.sum(jnp.where(lanes4 == (jpos >> 2), dpk, 0),
                        axis=1, keepdims=True)
@@ -299,22 +295,25 @@ def _kernel(slabT_ref, qu_ref, data_ref, dpk_ref, cand_d_ref, cand_l_ref,
                             jnp.where(srep_ok, ptype, P.LIT))
         valid_cols = []
         for js in range(4):
-            dj = dists[:, js:js + 1]
+            dj = dists[js]
             hit = jnp.sum(
                 jnp.where((cd_row == dj) & (cl_row >= length), 1, 0),
                 axis=1, keepdims=True)
             valid_cols.append(
                 jnp.where((hit > 0) & (dj + 1 <= i), 1, 0))
-        valid4 = jnp.concatenate(valid_cols, axis=1)       # int32 [CB, 4]
         cur_idx = jnp.clip(dist, 0, 3)
-        cur_ok = jnp.sum(valid4 * jnp.where(iota4 == cur_idx, 1, 0),
-                         axis=1, keepdims=True) > 0
+        cur_ok = jnp.where(
+            cur_idx == 0, valid_cols[0],
+            jnp.where(cur_idx == 1, valid_cols[1],
+                      jnp.where(cur_idx == 2, valid_cols[2],
+                                valid_cols[3]))) > 0
         # first valid stack index (argmax over 0/1 flags, order 0..3)
         first_valid = jnp.full((CB, 1), 3, jnp.int32)
         for js in (2, 1, 0):
-            first_valid = jnp.where(valid4[:, js:js + 1] != 0, js,
-                                    first_valid)
-        lrep_ok = cur_ok | (jnp.sum(valid4, axis=1, keepdims=True) > 0)
+            first_valid = jnp.where(valid_cols[js] != 0, js, first_valid)
+        any_valid = (valid_cols[0] + valid_cols[1]
+                     + valid_cols[2] + valid_cols[3]) > 0
+        lrep_ok = cur_ok | any_valid
         lrep_idx = jnp.where(cur_ok, cur_idx, first_valid)
         fb_type = jnp.where(srep_ok & count_ok, P.SREP, P.LIT)
 
@@ -372,15 +371,21 @@ def _kernel(slabT_ref, qu_ref, data_ref, dpk_ref, cand_d_ref, cand_l_ref,
                                     jnp.where(ptype == P.SREP, sr_n, lr_n)))
         ctx = jnp.where(active, ctx_n, ctx)
 
-        pushed = jnp.concatenate([dist, dists[:, :3]], axis=1)
-        dk = jnp.sum(jnp.where(iota4 == dist, dists, 0), axis=1,
-                     keepdims=True)
-        shifted = jnp.concatenate([dists[:, 0:1], dists[:, :3]], axis=1)
-        promoted = jnp.where(iota4 == 0, dk,
-                             jnp.where(iota4 <= dist, shifted, dists))
-        dists_n = _selk(ptype == P.MATCH, pushed,
-                        _selk(ptype == P.LREP, promoted, dists))
-        dists = _selk(active, dists_n, dists)
+        # push (MATCH: [dist, d0, d1, d2]) / promote (LREP index `dist`:
+        # [d_k, then shift 0..k-1 down]) — all in [CB, 1] columns
+        dk = jnp.where(dist == 0, dists[0],
+                       jnp.where(dist == 1, dists[1],
+                                 jnp.where(dist == 2, dists[2], dists[3])))
+        is_m = ptype == P.MATCH
+        is_r = ptype == P.LREP
+        upd = active & (is_m | is_r)
+        new0 = jnp.where(is_m, dist, dk)
+        new_cols = [jnp.where(upd, new0, dists[0])]
+        for js in (1, 2, 3):
+            shift_in = jnp.where(is_m | (dist >= js), dists[js - 1],
+                                 dists[js])
+            new_cols.append(jnp.where(upd, shift_in, dists[js]))
+        dists = tuple(new_cols)
 
         out_entry = jnp.where(
             active,
@@ -404,7 +409,7 @@ def _kernel(slabT_ref, qu_ref, data_ref, dpk_ref, cand_d_ref, cand_l_ref,
     misc_ref[2:3, :] = jnp.transpose(rctx)
     misc_ref[3:4, :] = jnp.transpose(rlive)
     for js in range(4):
-        misc_ref[4 + js:5 + js, :] = jnp.transpose(rdists[:, js:js + 1])
+        misc_ref[4 + js:5 + js, :] = jnp.transpose(rdists[js])
 
 
 def pack_data_words(data: np.ndarray) -> np.ndarray:
