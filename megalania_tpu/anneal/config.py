@@ -45,5 +45,18 @@ class AnnealConfig:
 
     seed: int = 1673551                # reference seed (main.c:68)
 
+    def __post_init__(self):
+        from ..models import packets as P
+        if not (0 < self.block_size <= P.MAX_BLOCK):
+            raise ValueError(
+                f"block_size={self.block_size} exceeds the {P.MAX_BLOCK}-byte "
+                "limit of the 20-bit packet dist field (models/packets.py)")
+        if self.chains < 1:
+            raise ValueError("chains must be >= 1")
+        if self.chain_block % 8 != 0:
+            raise ValueError("chain_block must be a sublane multiple (8)")
+        if self.kernel not in ("auto", "xla", "pallas", "pallas2"):
+            raise ValueError(f"unknown kernel {self.kernel!r}")
+
     def iters(self, n: int) -> int:
         return self.iters_per_epoch if self.iters_per_epoch else n

@@ -29,6 +29,9 @@ def _progress_printer(t0):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="megalania-tpu")
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="force the JAX backend (some environments ignore "
+                    "JAX_PLATFORMS; this uses jax.config, which always works)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     c = sub.add_parser("compress", help="anneal-compress a file")
@@ -41,6 +44,17 @@ def main(argv=None):
     c.add_argument("--top-k", type=int, default=20)
     c.add_argument("--seed", type=int, default=1673551)
     c.add_argument("--quiet", action="store_true")
+    c.add_argument("--kernel", default="auto",
+                   choices=["auto", "xla", "pallas", "pallas2"],
+                   help="fused-pass kernel (auto: pick per backend)")
+    c.add_argument("--checkpoint", default=None, metavar="DIR",
+                   help="checkpoint directory (per-block state + streams)")
+    c.add_argument("--checkpoint-every", type=int, default=4,
+                   help="segments between checkpoint saves")
+    c.add_argument("--resume", action="store_true",
+                   help="continue from an existing checkpoint")
+    c.add_argument("--metrics-jsonl", default=None, metavar="PATH",
+                   help="append structured per-segment metrics as JSONL")
 
     d = sub.add_parser("decompress", help="decode .lzma/.mlz")
     d.add_argument("file")
@@ -52,15 +66,26 @@ def main(argv=None):
 
     args = ap.parse_args(argv)
 
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
     if args.cmd == "compress":
         data = open(args.file, "rb").read()
         cfg = AnnealConfig(
             chains=args.chains, block_size=args.block_size,
-            top_k=args.top_k, seed=args.seed,
+            top_k=args.top_k, seed=args.seed, kernel=args.kernel,
         )
         progress = None if args.quiet else _progress_printer(time.time())
+        metrics = None
+        if args.metrics_jsonl:
+            from .utils.metrics import MetricsLogger
+            metrics = MetricsLogger(jsonl_path=args.metrics_jsonl)
         blob = compressor.compress(data, cfg, total_moves=args.moves,
-                                   progress=progress)
+                                   progress=progress,
+                                   checkpoint_dir=args.checkpoint,
+                                   checkpoint_every=args.checkpoint_every,
+                                   resume=args.resume, metrics=metrics)
         out = sys.stdout.buffer if args.output == "-" else open(
             args.output, "wb")
         out.write(blob)

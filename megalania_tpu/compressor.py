@@ -1,9 +1,17 @@
-"""Top-level compression API: file bytes -> .lzma / .mlz container."""
+"""Top-level compression API: file bytes -> .lzma / .mlz container.
+
+Integrates the aux subsystems (SURVEY.md §5.3-5.5) the reference lacks:
+per-block checkpoint/resume (exact, PRNG keys included), structured
+metrics, and elastic per-block recovery — a block whose compiled kernel
+fails (e.g. a Mosaic regression on new hardware) is requeued and retried
+on the plain-XLA fallback path instead of crashing the run.
+"""
 from __future__ import annotations
 
+import os
 import sys
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as dc_replace
 from typing import Callable, List, Optional
 
 import numpy as np
@@ -12,7 +20,9 @@ from .anneal import engine
 from .anneal.config import AnnealConfig
 from .parallel import blocks as blocks_mod
 from .runtime import emit as emit_mod
+from .utils import checkpoint as ckpt_mod
 from .utils import fixedpoint as fp
+from .utils.metrics import MetricsLogger
 
 
 @dataclass
@@ -22,6 +32,8 @@ class BlockResult:
     predicted_bytes: float
     moves: int
     seconds: float
+    kernel: str = "auto"
+    retries: int = 0
 
 
 def reference_budget(n: int, cfg: AnnealConfig) -> int:
@@ -36,8 +48,19 @@ def compress_block(
     total_moves: Optional[int] = None,
     segment_iters: int = 256,
     progress: Optional[Callable[[dict], None]] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 4,
+    resume: bool = False,
+    metrics: Optional[MetricsLogger] = None,
+    block_id: int = 0,
 ) -> BlockResult:
-    """Anneal one block and emit its .lzma stream."""
+    """Anneal one block and emit its .lzma stream.
+
+    checkpoint_path: npz file updated every `checkpoint_every` segments;
+    with resume=True an existing file continues the run exactly (the
+    PRNG keys are part of the state, so the continuation is
+    bit-identical to an uninterrupted run).
+    """
     t0 = time.time()
     n = len(data)
     if n == 0:
@@ -48,20 +71,33 @@ def compress_block(
     iters = max(1, total_moves // cfg.chains)
 
     ctx = engine.make_context(data, cfg)
-    state = engine.init_state(ctx, cfg)
-    done = 0
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        state = ckpt_mod.load(checkpoint_path)
+        done = int(state.moves_done) // cfg.chains
+    else:
+        state = engine.init_state(ctx, cfg)
+        done = 0
+    segs = 0
     while done < iters:
         seg = min(segment_iters, iters - done)
         state = engine.run_iters(state, ctx, cfg, seg)
         done += seg
+        segs += 1
+        if checkpoint_path and (segs % checkpoint_every == 0
+                                or done >= iters):
+            ckpt_mod.save(checkpoint_path, state)
+        info = {
+            "block": block_id,
+            "iter": done,
+            "iters": iters,
+            "moves": int(state.moves_done),
+            "best_bytes": round(engine.best_cost_bytes(state), 2),
+            "epochs": int(state.epochs_done),
+        }
+        if metrics is not None:
+            metrics.log(**info)
         if progress is not None:
-            progress({
-                "iter": done,
-                "iters": iters,
-                "moves": int(state.moves_done),
-                "best_bytes": engine.best_cost_bytes(state),
-                "epochs": int(state.epochs_done),
-            })
+            progress(info)
     slab = np.asarray(state.best_slab)
     stream = emit_mod.emit(data, slab, dict_size=cfg.dict_size)
     return BlockResult(
@@ -70,6 +106,7 @@ def compress_block(
         predicted_bytes=engine.best_cost_bytes(state),
         moves=int(state.moves_done),
         seconds=time.time() - t0,
+        kernel=engine.resolve_kernel(cfg),
     )
 
 
@@ -78,20 +115,63 @@ def compress(
     cfg: AnnealConfig = AnnealConfig(),
     total_moves: Optional[int] = None,
     progress: Optional[Callable[[dict], None]] = None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 4,
+    resume: bool = False,
+    metrics: Optional[MetricsLogger] = None,
+    max_retries: int = 1,
 ) -> bytes:
-    """Compress to a plain .lzma (single block) or .mlz container."""
+    """Compress to a plain .lzma (single block) or .mlz container.
+
+    Elastic recovery (SURVEY.md §5.3): blocks are an explicit work queue;
+    a block that raises is requeued once on the XLA fallback kernel
+    (blocks are independent, so recovery = re-running one block).
+    Completed block streams are persisted under checkpoint_dir so a
+    resumed run re-does only unfinished blocks.
+    """
     parts = blocks_mod.split_blocks(data, cfg.block_size)
-    results: List[BlockResult] = []
-    for bi, part in enumerate(parts):
-        def block_progress(info, bi=bi):
-            if progress is not None:
-                progress({"block": bi, "blocks": len(parts), **info})
+    results: List[Optional[BlockResult]] = [None] * len(parts)
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+
+    queue = [(bi, cfg, 0) for bi in range(len(parts))]
+    while queue:
+        bi, bcfg, attempt = queue.pop(0)
+        part = parts[bi]
+        done_path = (os.path.join(checkpoint_dir, f"block{bi}.lzma")
+                     if checkpoint_dir else None)
+        if resume and done_path and os.path.exists(done_path):
+            results[bi] = BlockResult(
+                open(done_path, "rb").read(), len(part), 0.0, 0, 0.0)
+            continue
+        ck_path = (os.path.join(checkpoint_dir, f"block{bi}.npz")
+                   if checkpoint_dir else None)
         moves = None
         if total_moves is not None:
             moves = max(1, total_moves // len(parts))
-        results.append(
-            compress_block(part, cfg, moves, progress=block_progress)
-        )
+        try:
+            res = compress_block(
+                part, bcfg, moves, progress=progress,
+                checkpoint_path=ck_path, checkpoint_every=checkpoint_every,
+                resume=resume, metrics=metrics, block_id=bi,
+            )
+        except Exception as e:  # noqa: BLE001 — elastic requeue boundary
+            if attempt >= max_retries:
+                raise
+            fb = dc_replace(bcfg, kernel="xla")
+            sys.stderr.write(
+                "block %d failed (%s: %s); requeued on XLA fallback\n"
+                % (bi, type(e).__name__, str(e).splitlines()[0][:120]))
+            queue.append((bi, fb, attempt + 1))
+            continue
+        res.retries = attempt
+        results[bi] = res
+        if done_path:
+            with open(done_path, "wb") as f:
+                f.write(res.stream)
+            if ck_path and os.path.exists(ck_path):
+                os.unlink(ck_path)
+
     if len(results) == 1:
         return results[0].stream
     return blocks_mod.pack_container(

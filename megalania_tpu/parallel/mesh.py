@@ -41,11 +41,16 @@ def make_mesh(n_blocks: int = 1, devices: Sequence | None = None) -> Mesh:
 
 
 def _exchange_best(best_slab, hi, lo, axis):
-    """Cross-device argmin of (hi, lo) with slab broadcast."""
+    """Cross-device argmin of (hi, lo) with slab broadcast.
+
+    Exact lexicographic (hi, lo) selection — float32 keys lose the low
+    bits once costs exceed 2**24 fixed-point units, which a ~100 KB
+    block of entropy does (utils/fixedpoint.py docstring).
+    """
     his = jax.lax.all_gather(hi, axis)
     los = jax.lax.all_gather(lo, axis)
     slabs = jax.lax.all_gather(best_slab, axis)
-    i = jnp.argmin(fp.to_float(his, los))
+    i = fp.argmin(his, los)
     return slabs[i], his[i], los[i]
 
 

@@ -33,4 +33,15 @@ def to_int(hi, lo) -> int:
     return int(hi) * (1 << LO_BITS) + int(lo)
 
 
+def argmin(hi, lo):
+    """Exact lexicographic argmin over parallel (hi, lo) arrays.
+
+    Two-stage: find min hi, then argmin of lo restricted to rows at the
+    min (others forced to +inf).  Avoids float32 keys, whose 24-bit
+    mantissa mis-ranks totals beyond 2**24 units."""
+    min_hi = jnp.min(hi)
+    masked_lo = jnp.where(hi == min_hi, lo, jnp.int32(2**31 - 1))
+    return jnp.argmin(masked_lo)
+
+
 INF_HI = jnp.int32(2**31 - 1)

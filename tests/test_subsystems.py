@@ -1,0 +1,106 @@
+"""Aux subsystems as wired into the product (SURVEY.md §5.3-5.5):
+checkpoint/resume through compress_block, elastic per-block recovery,
+metrics, config guards, exact fixed-point argmin."""
+import lzma
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from megalania_tpu import compressor
+from megalania_tpu.anneal.config import AnnealConfig
+from megalania_tpu.utils import fixedpoint as fp
+from megalania_tpu.utils.metrics import MetricsLogger
+
+DATA = (b"checkpointed annealing must resume bit-identically. " * 3)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return AnnealConfig(chains=8, max_candidates=8, max_walk=64, top_k=12)
+
+
+def test_resume_bit_identical(cfg, tmp_path):
+    """kill-after-k-segments + resume == uninterrupted run, bit-exact.
+
+    The PRNG keys ride the checkpoint (utils/checkpoint.py), so the
+    continuation replays the exact move sequence (SURVEY.md §5.4 /
+    reference determinism property, main.c:68)."""
+    moves = 8 * 40  # 40 iters at 8 chains
+
+    straight = compressor.compress_block(
+        DATA, cfg, total_moves=moves, segment_iters=10).stream
+
+    ck = str(tmp_path / "blk.npz")
+    # simulate a crash: run only the first 2 segments, checkpointing each
+    with pytest.raises(KeyboardInterrupt):
+        seen = {"n": 0}
+
+        def bomb(info):
+            seen["n"] += 1
+            if seen["n"] == 2:
+                raise KeyboardInterrupt
+
+        compressor.compress_block(
+            DATA, cfg, total_moves=moves, segment_iters=10,
+            checkpoint_path=ck, checkpoint_every=1, progress=bomb)
+    assert os.path.exists(ck)
+
+    resumed = compressor.compress_block(
+        DATA, cfg, total_moves=moves, segment_iters=10,
+        checkpoint_path=ck, resume=True).stream
+    assert resumed == straight
+    assert lzma.decompress(resumed, format=lzma.FORMAT_ALONE) == DATA
+
+
+def test_elastic_fallback_recovers(cfg, tmp_path, monkeypatch):
+    """A block whose kernel raises is requeued on the XLA fallback and
+    the container still round-trips (SURVEY.md §5.3)."""
+    calls = {"n": 0}
+    real = compressor.compress_block
+
+    def flaky(data, bcfg, *a, **k):
+        calls["n"] += 1
+        if bcfg.kernel != "xla":
+            raise RuntimeError("injected Mosaic failure")
+        return real(data, bcfg, *a, **k)
+
+    monkeypatch.setattr(compressor, "compress_block", flaky)
+    blob = compressor.compress(DATA, cfg, total_moves=8 * 8)
+    assert calls["n"] == 2  # first attempt failed, retry succeeded
+    assert compressor.decompress(blob) == DATA
+
+
+def test_metrics_jsonl(cfg, tmp_path):
+    path = str(tmp_path / "m.jsonl")
+    m = MetricsLogger(jsonl_path=path)
+    compressor.compress_block(DATA, cfg, total_moves=8 * 8,
+                              segment_iters=4, metrics=m)
+    import json
+    recs = [json.loads(l) for l in open(path)]
+    assert recs and all("best_bytes" in r and "moves" in r for r in recs)
+    assert recs[-1]["iter"] == recs[-1]["iters"]
+
+
+def test_config_guards():
+    with pytest.raises(ValueError):
+        AnnealConfig(block_size=(1 << 20) + 1)   # > MAX_BLOCK
+    with pytest.raises(ValueError):
+        AnnealConfig(chain_block=12)             # not sublane multiple
+    with pytest.raises(ValueError):
+        AnnealConfig(kernel="cuda")
+
+
+def test_fp_argmin_exact():
+    """float32 keys collapse above 2**24; fp.argmin must not."""
+    hi = jnp.asarray([1 << 10, 1 << 10, (1 << 10) + 1], jnp.int32)
+    lo = jnp.asarray([7, 6, 0], jnp.int32)
+    assert int(fp.argmin(hi, lo)) == 1
+    # a case float32 gets wrong: hi*2**16+lo differs only in low bits
+    hi = jnp.asarray([1 << 14, 1 << 14], jnp.int32)
+    lo = jnp.asarray([3, 2], jnp.int32)
+    f = fp.to_float(hi, lo)
+    assert float(f[0]) == float(f[1])  # float key is blind here...
+    assert int(fp.argmin(hi, lo)) == 1  # ...exact argmin is not
