@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..match import candidates as C_
 from ..match.suffix import build_lce
 from ..models import packets as P
-from ..ops import pallas_repair, repair_scan, tables as T
+from ..ops import pallas_repair, pallas_repair2, repair_scan, tables as T
 from ..utils import fixedpoint as fp
 from . import moves
 from .config import AnnealConfig
@@ -44,20 +44,31 @@ class BlockContext(NamedTuple):
 
 
 def resolve_kernel(cfg: AnnealConfig) -> str:
-    """'pallas' on a real TPU backend, 'xla' elsewhere, unless forced.
-
-    The Pallas kernel needs the chain count to be a sublane multiple.
-    """
+    """Pick the fused-pass kernel: 'pallas2' (class-decomposed, fastest)
+    on a real TPU backend when the chain count allows a 128-lane block,
+    'pallas' (v1) for smaller sublane-multiple chain counts, 'xla'
+    elsewhere — unless forced by cfg.kernel."""
     if cfg.kernel != "auto":
         return cfg.kernel
-    if cfg.chains % 8 != 0:
+    if jax.default_backend() != "tpu":
         return "xla"
-    return "pallas" if jax.default_backend() == "tpu" else "xla"
+    if cfg.chains % 128 == 0:
+        return "pallas2"
+    if cfg.chains % 8 == 0:
+        return "pallas"
+    return "xla"
 
 
 def _repair_cost(state_slabs, q, u, ctx: BlockContext, cfg: AnnealConfig):
     """Dispatch the fused repair+cost pass to the configured kernel."""
-    if resolve_kernel(cfg) == "pallas":
+    kernel = resolve_kernel(cfg)
+    if kernel == "pallas2":
+        return pallas_repair2.repair_cost_pallas2(
+            state_slabs, q, u, ctx.data, ctx.data_packed, ctx.cand_dist,
+            ctx.cand_len, ctx.corr, cb=cfg.chain_block,
+            interpret=jax.default_backend() != "tpu",
+        )
+    if kernel == "pallas":
         return pallas_repair.repair_cost_pallas(
             state_slabs, q, u, ctx.data, ctx.data_packed, ctx.cand_dist,
             ctx.cand_len, ctx.corr, cb=cfg.chain_block,
@@ -193,7 +204,7 @@ def anneal_iteration(state: AnnealState, ctx: BlockContext,
     chains = _chains_iter(state.chains, ctx, state.it_in_epoch, step, cfg)
 
     # global best (reference keeps one best slab, main.c:89-92)
-    b = jnp.argmin(fp.to_float(chains.cost_hi, chains.cost_lo))
+    b = fp.argmin(chains.cost_hi, chains.cost_lo)
     cand_hi = chains.cost_hi[b]
     cand_lo = chains.cost_lo[b]
     improved = fp.less(cand_hi, cand_lo, state.best_hi, state.best_lo)

@@ -1,0 +1,443 @@
+"""Fused repair+cost pass, v2: class-decomposed probability model.
+
+Same contract and bit-exact semantics as ops/pallas_repair.py (v1) and
+ops/repair_scan.py (the golden lax.scan implementation); the difference
+is the realization of the per-bit gather/adapt/scatter, which dominated
+v1's runtime:
+
+  v1: probs as one [CB, 1920] vector per chain; every one of the ~26 bit
+      slots per position pays a compare+select+reduce over ALL 1920
+      lanes (~15 vreg columns) — >95% of the kernel's vector work.
+
+  v2: per-chain values ride [1, CB] (chains on lanes); the probability
+      model is split into small per-slot classes stored [rows, CB]
+      (ops/problayout.py).  A slot's gather/scatter touches only its
+      class' ceil(rows/8) sublane groups.  Bit trees are decomposed by
+      level so a tree slot addresses a 2^level-wide class.  Literal
+      probabilities exploit that the symbol-tree index is shared across
+      chains (the data byte is common): each literal bit reads the 3
+      candidate rows (plain / matched-0 / matched-1) by *scalar* row
+      index and selects per chain — no wide ops at all.
+
+Shared-table lookups (log2 correction words, packed data words for the
+rep0 match byte) use the one dynamic-gather shape Mosaic supports
+([rows, 128] lane-local take_along) via a [1, CB] -> [CB/128, 128]
+reshape.
+
+Reference unit of work: one full exact re-cost per chain per call
+(/root/reference/src/packet_slab_neighbour.c:154-173).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import tables as T
+from . import problayout as PL
+from .pallas_repair import _f32_log2_cost, log2_correction, pack_data_words
+from ..models import packets as P
+
+PROB_ONE = T.PROB_ONE
+ROW = PL.ROW
+ROWS = PL.ROWS
+PACKED_ROWS = PL.PACKED_ROWS
+
+
+def rt_offset_table() -> np.ndarray:
+    """[1, 128] shared table: entry 16*level + tree_id = within-class
+    offset of that reverse tree at that level (problayout.RT_OFFSETS)."""
+    t = np.zeros((1, 128), np.int32)
+    for lvl in range(5):
+        t[0, 16 * lvl:16 * lvl + 11] = PL.RT_OFFSETS[lvl]
+    return t
+
+
+# ---------------------------------------------------------------------------
+# In-kernel helpers
+# ---------------------------------------------------------------------------
+
+def _shared_lookup(vals, table, CB):
+    """Gather table[0, vals] for [1, CB] vals from a [1, 128] table.
+
+    Mosaic's gather lowering rejects a single-sublane (1, 128)
+    take_along_axis (tools/micro_mosaic_probe4.py) — pad the row axis to
+    2 and keep row 0."""
+    if CB % 128 != 0:            # interpret-mode path (tiny test shapes)
+        return jnp.take(table[0], vals[0], axis=0)[None, :]
+    cols = CB // 128
+    rows = max(cols, 2)
+    idx = vals.reshape(cols, 128)
+    if cols < rows:
+        idx = jnp.broadcast_to(idx, (rows, 128))
+    tab = jnp.broadcast_to(table, (rows, 128))
+    g = jnp.take_along_axis(tab, idx, axis=1)
+    return g[:cols, :].reshape(1, CB)
+
+
+def _shared_lookup_wide(vals, table, CB):
+    """table [1, W] (W multiple of 128), vals in [0, W)."""
+    W = table.shape[1]
+    if W <= 128:
+        return _shared_lookup(vals, table, CB)
+    lo = vals & 127
+    hi = vals >> 7
+    out = jnp.zeros(vals.shape, jnp.int32)
+    for c in range(W // 128):
+        g = _shared_lookup(lo, table[:, 128 * c:128 * (c + 1)], CB)
+        out = jnp.where(hi == c, g, out)
+    return out
+
+
+def _cls_gather(s_ref, name, idx, CB):
+    """Masked row-sum gather from class `name`; idx [1, CB] within-class.
+
+    Out-of-range idx (inactive slots) simply matches no row -> p = 0,
+    which downstream clipping and the act mask make harmless."""
+    row0, rows = ROW[name], ROWS[name]
+    t = s_ref[row0:row0 + rows, :]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (rows, CB), 0)
+    m = ri == idx
+    p = jnp.sum(jnp.where(m, t, 0), axis=0, keepdims=True)
+    return p, m, t
+
+
+def _cls_commit(s_ref, name, m, t, act, adapted):
+    row0, rows = ROW[name], ROWS[name]
+    s_ref[row0:row0 + rows, :] = jnp.where(m & act, adapted, t)
+
+
+def _cost_adapt(p, bit, act, corrw, CB):
+    """Exact bit cost (f32 log2 + packed correction) and adapted prob."""
+    pc = jnp.clip(jnp.where(bit == 1, PROB_ONE - p, p), 1, PROB_ONE - 1)
+    c32 = _f32_log2_cost(pc)
+    w = _shared_lookup(pc >> 4, corrw, CB)
+    cval = ((w >> ((pc & 15) * 2)) & 3) - 1
+    cost = jnp.where(act, c32 + cval, 0)
+    adapted = jnp.where(bit == 1, p - (p >> T.MOVE_BITS),
+                        p + ((PROB_ONE - p) >> T.MOVE_BITS))
+    return cost, adapted
+
+
+def _adaptive_bit(s_ref, name, idx, bit, act, corrw, CB):
+    p, m, t = _cls_gather(s_ref, name, idx, CB)
+    cost, adapted = _cost_adapt(p, bit, act, corrw, CB)
+    _cls_commit(s_ref, name, m, t, act, adapted)
+    return cost
+
+
+def _bit_length(d):
+    """32 - clz(d) for 0 <= d < 2**20 via the float32 exponent (exact)."""
+    e = (jax.lax.bitcast_convert_type(d.astype(jnp.float32), jnp.int32)
+         >> 23) - 126
+    return jnp.maximum(e, 0)
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+def _kernel(slabT_ref, qu_ref, data_ref, dpk_ref, cand_d_ref, cand_l_ref,
+            corrw_ref, rtoff_ref, out_slabT_ref, probsC_ref, misc_ref,
+            s_ref, *, n, n4, M, CB):
+    q = qu_ref[0:1, :]                                        # [1, CB]
+    u = qu_ref[1:2, :]
+    corrw = corrw_ref[:]                                      # [1, 128]
+    rtoff = rtoff_ref[:]                                      # [1, 128]
+    dpk = dpk_ref[:]                                          # [1, n4]
+
+    s_ref[:] = jnp.full((PACKED_ROWS, CB), T.PROB_INIT, jnp.int32)
+
+    zc = jnp.zeros((1, CB), jnp.int32)
+    carry0 = (zc,) * 16
+
+    def body(i, carry):
+        (ctx, d0, d1, d2, d3, live, hi, lo, since,
+         rctx, rd0, rd1, rd2, rd3, rlive, _pad) = carry
+
+        entry = slabT_ref[pl.ds(i, 1), :].astype(jnp.uint32)  # [1, CB]
+        byte = data_ref[i]                                    # scalar
+        cdT = jnp.transpose(cand_d_ref[pl.ds(i, 1), :])       # [M, 1]
+        clT = jnp.transpose(cand_l_ref[pl.ds(i, 1), :])
+
+        active = live == i
+        at_u = u == i
+        rctx = jnp.where(at_u, ctx, rctx)
+        rd0 = jnp.where(at_u, d0, rd0)
+        rd1 = jnp.where(at_u, d1, rd1)
+        rd2 = jnp.where(at_u, d2, rd2)
+        rd3 = jnp.where(at_u, d3, rd3)
+        rlive = jnp.where(at_u, live, rlive)
+
+        ptype = ((entry >> P.TYPE_SHIFT) & P.TYPE_MASK).astype(jnp.int32)
+        dist = (entry & P.DIST_MASK).astype(jnp.int32)
+        length = ((entry >> P.LEN_SHIFT) & P.LEN_MASK).astype(jnp.int32)
+
+        # rep0 match byte via packed-word shared gather
+        jpos = jnp.clip(i - d0 - 1, 0, n - 1)
+        word = _shared_lookup_wide(jpos >> 2, dpk, CB)
+        mb = (word >> ((jpos & 3) * 8)) & 255
+
+        # ---- repair rules (semantics of repair_scan._repair_entry) ------
+        srep_ok = (i > 0) & (d0 + 1 <= i) & (mb == byte)
+        count_ok = since < 4
+        ls_type = jnp.where(srep_ok & count_ok, P.SREP,
+                            jnp.where(srep_ok, ptype, P.LIT))
+        valid_cols = []
+        for dj in (d0, d1, d2, d3):
+            hit = jnp.sum(
+                jnp.where((cdT == dj) & (clT >= length), 1, 0),
+                axis=0, keepdims=True)
+            valid_cols.append(jnp.where((hit > 0) & (dj + 1 <= i), 1, 0))
+        cur_idx = jnp.clip(dist, 0, 3)
+        cur_ok = jnp.where(
+            cur_idx == 0, valid_cols[0],
+            jnp.where(cur_idx == 1, valid_cols[1],
+                      jnp.where(cur_idx == 2, valid_cols[2],
+                                valid_cols[3]))) > 0
+        first_valid = jnp.full((1, CB), 3, jnp.int32)
+        for js in (2, 1, 0):
+            first_valid = jnp.where(valid_cols[js] != 0, js, first_valid)
+        any_valid = (valid_cols[0] + valid_cols[1]
+                     + valid_cols[2] + valid_cols[3]) > 0
+        lrep_ok = cur_ok | any_valid
+        lrep_idx = jnp.where(cur_ok, cur_idx, first_valid)
+        fb_type = jnp.where(srep_ok & count_ok, P.SREP, P.LIT)
+
+        is_ls = (ptype == P.LIT) | (ptype == P.SREP)
+        is_lrep0 = ptype == P.LREP
+        r_type = jnp.where(
+            is_ls, ls_type,
+            jnp.where(is_lrep0, jnp.where(lrep_ok, P.LREP, fb_type), ptype))
+        r_dist = jnp.where(is_lrep0 & lrep_ok, lrep_idx,
+                           jnp.where(is_ls | is_lrep0, 0, dist))
+        r_len = jnp.where(is_lrep0 & ~lrep_ok, 1,
+                          jnp.where(is_ls, 1, length))
+
+        in_repair = active & (i >= q)
+        ptype = jnp.where(in_repair, r_type, ptype)
+        dist = jnp.where(in_repair, r_dist, dist)
+        length = jnp.where(in_repair, r_len, length)
+
+        # ---- packet field decomposition ---------------------------------
+        is_lit = ptype == P.LIT
+        is_match = ptype == P.MATCH
+        is_srep = ptype == P.SREP
+        is_lrep = ptype == P.LREP
+        is_rep = is_srep | is_lrep
+
+        cost = jnp.zeros((1, CB), jnp.int32)
+
+        # ---- header flag bits (bitplan slots 0..4) -----------------------
+        b3 = is_lrep & (dist != 0)
+        b4 = jnp.where(b3, (dist != 1).astype(jnp.int32),
+                       is_lrep.astype(jnp.int32))
+        b5 = (dist != 2).astype(jnp.int32)
+        cost += _adaptive_bit(s_ref, "ismatch", ctx,
+                              (~is_lit).astype(jnp.int32), active, corrw, CB)
+        cost += _adaptive_bit(s_ref, "isrep", ctx,
+                              is_rep.astype(jnp.int32),
+                              active & ~is_lit, corrw, CB)
+        cost += _adaptive_bit(s_ref, "g0", ctx, b3.astype(jnp.int32),
+                              active & is_rep, corrw, CB)
+        cost += _adaptive_bit(s_ref, "g1r0l",
+                              jnp.where(b3, ctx, 12 + ctx), b4,
+                              active & is_rep, corrw, CB)
+        cost += _adaptive_bit(s_ref, "g2", ctx, b5,
+                              active & is_rep & b3 & (b4 == 1), corrw, CB)
+
+        # ---- length coder (slots 5..14) ----------------------------------
+        len_active = active & (is_match | is_lrep)
+        len2 = jnp.maximum(length - T.MATCH_LEN_MIN, 0)
+        repc = is_lrep.astype(jnp.int32)
+        c1 = (len2 >= 8).astype(jnp.int32)
+        c2 = (len2 >= 16).astype(jnp.int32)
+        cost += _adaptive_bit(s_ref, "lch", repc, c1, len_active, corrw, CB)
+        cost += _adaptive_bit(s_ref, "lch", 2 + repc, c2,
+                              len_active & (c1 == 1), corrw, CB)
+        nbits = jnp.where(c2 == 1, 8, 3)
+        tval = jnp.where(c1 == 0, len2,
+                         jnp.where(c2 == 0, len2 - 8, len2 - 16))
+        for j in range(8):
+            if j < 3:
+                tsel = jnp.where(c2 == 1, 4 + repc, repc * 2 + c1)
+            else:
+                tsel = repc
+            idx = (tsel << j) + (tval >> jnp.maximum(nbits - j, 0))
+            bit = (tval >> jnp.maximum(nbits - 1 - j, 0)) & 1
+            act = len_active & (j < nbits)
+            cost += _adaptive_bit(s_ref, f"ltree{j}", idx, bit, act,
+                                  corrw, CB)
+
+        # ---- literal bits (8 scalar-row slots) ---------------------------
+        lit_active = active & is_lit
+        L0 = ROW["lit"]
+        prefix_eq = jnp.ones((1, CB), jnp.int32)
+        ctx_ge7 = ctx >= 7
+        for j in range(8):
+            sym = (1 << j) | (byte >> (8 - j))                # scalar
+            lbit = (byte >> (7 - j)) & 1                      # scalar
+            mbit = (mb >> (7 - j)) & 1                        # [1, CB]
+            matched = ctx_ge7 & (prefix_eq == 1)
+            sel = jnp.where(matched, 1 + mbit, 0)
+            r0 = s_ref[pl.ds(L0 + sym, 1), :]
+            r1 = s_ref[pl.ds(L0 + 256 + sym, 1), :]
+            r2 = s_ref[pl.ds(L0 + 512 + sym, 1), :]
+            p = jnp.where(sel == 0, r0, jnp.where(sel == 1, r1, r2))
+            c, adapted = _cost_adapt(p, lbit, lit_active, corrw, CB)
+            cost += c
+            s_ref[pl.ds(L0 + sym, 1), :] = jnp.where(
+                (sel == 0) & lit_active, adapted, r0)
+            s_ref[pl.ds(L0 + 256 + sym, 1), :] = jnp.where(
+                (sel == 1) & lit_active, adapted, r1)
+            s_ref[pl.ds(L0 + 512 + sym, 1), :] = jnp.where(
+                (sel == 2) & lit_active, adapted, r2)
+            prefix_eq = prefix_eq * (mbit == lbit).astype(jnp.int32)
+
+        # ---- distance coder (slots 15..25 + direct bits) -----------------
+        act_d = active & is_match
+        bl = _bit_length(dist)
+        nlb_t = jnp.maximum(bl - 2, 0)
+        high = dist >> nlb_t
+        ps = jnp.where(dist < 4, dist, nlb_t * 2 + high)
+        len_ctx = jnp.minimum(len2, 3)
+        for j in range(6):
+            idx = (len_ctx << j) + (ps >> (6 - j))
+            bit = (ps >> (5 - j)) & 1
+            cost += _adaptive_bit(s_ref, f"dst{j}", idx, bit, act_d,
+                                  corrw, CB)
+        midrange = (ps >= 4) & (ps < 14)
+        nlb = jnp.where(midrange, (ps >> 1) - 1, 4)
+        low = dist & ((1 << nlb) - 1)
+        tid = jnp.where(midrange, ps - 4, 10)
+        act_rt = act_d & (ps >= 4)
+        rev = jnp.zeros((1, CB), jnp.int32)
+        for t in range(5):
+            off = _shared_lookup(16 * t + tid, rtoff, CB)
+            idx = off + rev
+            bit = (low >> t) & 1
+            cost += _adaptive_bit(s_ref, f"rt{t}", idx, bit,
+                                  act_rt & (t < nlb), corrw, CB)
+            rev = (rev << 1) | bit
+        n_direct = jnp.where(act_d & (ps >= 14), nlb_t - 4, 0)
+        cost += n_direct << T.PROB_BITS
+
+        lo = lo + cost
+        hi = hi + (lo >> 16)
+        lo = lo & 0xFFFF
+
+        # ---- state transitions (models/lzma_state.py) --------------------
+        lit_n = jnp.where(ctx < 4, 0, jnp.where(ctx < 10, ctx - 3, ctx - 6))
+        mat_n = jnp.where(ctx < 7, 7, 10)
+        sr_n = jnp.where(ctx < 7, 9, 11)
+        lr_n = jnp.where(ctx < 7, 8, 11)
+        ctx_n = jnp.where(is_lit, lit_n,
+                          jnp.where(is_match, mat_n,
+                                    jnp.where(is_srep, sr_n, lr_n)))
+        ctx = jnp.where(active, ctx_n, ctx)
+
+        dk = jnp.where(dist == 0, d0,
+                       jnp.where(dist == 1, d1,
+                                 jnp.where(dist == 2, d2, d3)))
+        upd = active & (is_match | is_lrep)
+        new0 = jnp.where(is_match, dist, dk)
+        nd0 = jnp.where(upd, new0, d0)
+        nd1 = jnp.where(upd, jnp.where(is_match | (dist >= 1), d0, d1), d1)
+        nd2 = jnp.where(upd, jnp.where(is_match | (dist >= 2), d1, d2), d2)
+        nd3 = jnp.where(upd, jnp.where(is_match | (dist >= 3), d2, d3), d3)
+        d0, d1, d2, d3 = nd0, nd1, nd2, nd3
+
+        out_entry = jnp.where(
+            active,
+            (dist.astype(jnp.uint32) & P.DIST_MASK)
+            | ((length.astype(jnp.uint32) & P.LEN_MASK) << P.LEN_SHIFT)
+            | ((ptype.astype(jnp.uint32) & P.TYPE_MASK) << P.TYPE_SHIFT)
+            | jnp.uint32(1 << P.LIVE_SHIFT),
+            entry & jnp.uint32(~(1 << P.LIVE_SHIFT) & 0xFFFFFFFF))
+        out_slabT_ref[pl.ds(i, 1), :] = out_entry
+
+        live = live + jnp.where(active, length, 0)
+        since = since + jnp.where(in_repair, 1, 0)
+        return (ctx, d0, d1, d2, d3, live, hi, lo, since,
+                rctx, rd0, rd1, rd2, rd3, rlive, _pad)
+
+    (ctx, d0, d1, d2, d3, live, hi, lo, since,
+     rctx, rd0, rd1, rd2, rd3, rlive, _pad) = (
+        jax.lax.fori_loop(0, n, body, carry0))
+
+    probsC_ref[:] = s_ref[:]
+    misc_ref[0:1, :] = hi
+    misc_ref[1:2, :] = lo
+    misc_ref[2:3, :] = rctx
+    misc_ref[3:4, :] = rlive
+    misc_ref[4:5, :] = rd0
+    misc_ref[5:6, :] = rd1
+    misc_ref[6:7, :] = rd2
+    misc_ref[7:8, :] = rd3
+
+
+@functools.partial(jax.jit, static_argnames=("cb", "interpret"))
+def repair_cost_pallas2(slabs, q, u, data, data_packed, cand_dist, cand_len,
+                        corr, cb: int = 128, interpret: bool = False):
+    """Drop-in replacement for pallas_repair.repair_cost_pallas (v1) with
+    the class-decomposed layout; identical contract and results."""
+    C, n = slabs.shape
+    M = cand_dist.shape[1]
+    n4 = data_packed.shape[1]
+    cb = min(cb, C)
+    assert C % cb == 0 and cb % 8 == 0, (C, cb)
+    if not interpret:
+        assert cb % 128 == 0, f"v2 kernel needs cb%128==0 on TPU, got {cb}"
+    grid = C // cb
+
+    qu = jnp.stack([q.astype(jnp.int32), u.astype(jnp.int32)])   # [2, C]
+    slabT = jnp.transpose(slabs)                                 # [n, C]
+    rtoff = jnp.asarray(rt_offset_table())
+
+    kern = functools.partial(_kernel, n=n, n4=n4, M=M, CB=cb)
+    out_slabT, probsC, misc = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((n, cb), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, cb), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n4), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, M), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, M), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n, cb), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PACKED_ROWS, cb), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, cb), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, C), jnp.uint32),
+            jax.ShapeDtypeStruct((PACKED_ROWS, C), jnp.int32),
+            jax.ShapeDtypeStruct((8, C), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((PACKED_ROWS, cb), jnp.int32)],
+        interpret=interpret,
+    )(slabT, qu, data.astype(jnp.int32), data_packed, cand_dist,
+      cand_len, corr, rtoff)
+
+    flat = PL.flat_from_packed(jnp.transpose(probsC))
+    rdists = jnp.transpose(misc[4:8, :])
+    return (jnp.transpose(out_slabT), misc[0], misc[1], flat,
+            misc[2], rdists, misc[3])
