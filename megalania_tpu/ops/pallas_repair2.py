@@ -66,7 +66,9 @@ def _shared_lookup(vals, table, CB):
 
     Mosaic's gather lowering rejects a single-sublane (1, 128)
     take_along_axis (tools/micro_mosaic_probe4.py) — pad the row axis to
-    2 and keep row 0."""
+    2 and keep row 0.  Broadcasting a full (un-sliced) [1, 128] buffer
+    is fine on chip (verified at rows 2 and 4); broadcasting *slices* is
+    not — wide tables go through _shared_lookup_wide instead."""
     if CB % 128 != 0:            # interpret-mode path (tiny test shapes)
         return jnp.take(table[0], vals[0], axis=0)[None, :]
     cols = CB // 128
@@ -79,18 +81,28 @@ def _shared_lookup(vals, table, CB):
     return g[:cols, :].reshape(1, CB)
 
 
-def _shared_lookup_wide(vals, table, CB):
-    """table [1, W] (W multiple of 128), vals in [0, W)."""
-    W = table.shape[1]
-    if W <= 128:
-        return _shared_lookup(vals, table, CB)
-    lo = vals & 127
-    hi = vals >> 7
-    out = jnp.zeros(vals.shape, jnp.int32)
-    for c in range(W // 128):
-        g = _shared_lookup(lo, table[:, 128 * c:128 * (c + 1)], CB)
-        out = jnp.where(hi == c, g, out)
-    return out
+def _shared_lookup_wide(vals, wtab, CB):
+    """Gather from a wide shared table stored [R, 128] (row r holds
+    entries [128r, 128r+128)); vals in [0, 128*R).
+
+    One lane-local take_along per 128-lane value group + a masked
+    row-sum to pick each value's row — no sliced-table broadcasts."""
+    R = wtab.shape[0]
+    if CB % 128 != 0:            # interpret-mode path
+        return jnp.take(wtab.reshape(-1), vals[0], axis=0)[None, :]
+    cols = CB // 128
+    lo = (vals & 127).reshape(cols, 128)
+    hi = (vals >> 7).reshape(cols, 128)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+    outs = []
+    for c in range(cols):
+        idx = jnp.broadcast_to(lo[c:c + 1, :], (R, 128))
+        g = jnp.take_along_axis(wtab, idx, axis=1)
+        sel = ri == hi[c:c + 1, :]
+        outs.append(jnp.sum(jnp.where(sel, g, 0), axis=0, keepdims=True))
+    if cols == 1:
+        return outs[0]
+    return jnp.concatenate(outs, axis=0).reshape(1, CB)
 
 
 def _cls_gather(s_ref, name, idx, CB):
@@ -143,12 +155,12 @@ def _bit_length(d):
 
 def _kernel(slabT_ref, qu_ref, data_ref, dpk_ref, cand_d_ref, cand_l_ref,
             corrw_ref, rtoff_ref, out_slabT_ref, probsC_ref, misc_ref,
-            s_ref, *, n, n4, M, CB):
+            s_ref, *, n, R, M, CB):
     q = qu_ref[0:1, :]                                        # [1, CB]
     u = qu_ref[1:2, :]
     corrw = corrw_ref[:]                                      # [1, 128]
     rtoff = rtoff_ref[:]                                      # [1, 128]
-    dpk = dpk_ref[:]                                          # [1, n4]
+    dpk = dpk_ref[:]                                          # [R, 128]
 
     s_ref[:] = jnp.full((PACKED_ROWS, CB), T.PROB_INIT, jnp.int32)
 
@@ -394,11 +406,16 @@ def repair_cost_pallas2(slabs, q, u, data, data_packed, cand_dist, cand_len,
         assert cb % 128 == 0, f"v2 kernel needs cb%128==0 on TPU, got {cb}"
     grid = C // cb
 
+    # packed data words as [R, 128] rows (row r = words 128r..128r+127);
+    # _shared_lookup_wide gathers lane-locally then row-selects.
+    R = max(2, -(-n4 // 128))
+    dpkR = jnp.pad(data_packed, ((0, 0), (0, R * 128 - n4))).reshape(R, 128)
+
     qu = jnp.stack([q.astype(jnp.int32), u.astype(jnp.int32)])   # [2, C]
     slabT = jnp.transpose(slabs)                                 # [n, C]
     rtoff = jnp.asarray(rt_offset_table())
 
-    kern = functools.partial(_kernel, n=n, n4=n4, M=M, CB=cb)
+    kern = functools.partial(_kernel, n=n, R=R, M=M, CB=cb)
     out_slabT, probsC, misc = pl.pallas_call(
         kern,
         grid=(grid,),
@@ -408,7 +425,7 @@ def repair_cost_pallas2(slabs, q, u, data, data_packed, cand_dist, cand_len,
             pl.BlockSpec((2, cb), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n4), lambda g: (0, 0),
+            pl.BlockSpec((R, 128), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, M), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -434,7 +451,7 @@ def repair_cost_pallas2(slabs, q, u, data, data_packed, cand_dist, cand_len,
         ],
         scratch_shapes=[pltpu.VMEM((PACKED_ROWS, cb), jnp.int32)],
         interpret=interpret,
-    )(slabT, qu, data.astype(jnp.int32), data_packed, cand_dist,
+    )(slabT, qu, data.astype(jnp.int32), dpkR, cand_dist,
       cand_len, corr, rtoff)
 
     flat = PL.flat_from_packed(jnp.transpose(probsC))
