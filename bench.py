@@ -14,7 +14,7 @@ import sys
 import time
 
 N = 2048                 # match the reference's measured n=2000 scale
-CHAINS = int(os.environ.get("BENCH_CHAINS", "256"))
+CHAINS = int(os.environ.get("BENCH_CHAINS", "512"))
 WARM_ITERS = None  # warmup uses the timed program (single compile)
 BASELINE_MOVES_PER_S = 16900.0   # reference @ n=2000 (BASELINE.md)
 
@@ -31,7 +31,9 @@ def main():
 
     data = open(os.path.join(os.path.dirname(__file__) or ".",
                              "SURVEY.md"), "rb").read()[:N]
-    cfg = AnnealConfig(chains=CHAINS)
+    # one kernel grid step for all chains when the lane constraint allows
+    cb = CHAINS if CHAINS % 128 == 0 else 128
+    cfg = AnnealConfig(chains=CHAINS, chain_block=cb)
     ctx = engine.make_context(data, cfg)
     state = engine.init_state(ctx, cfg)
 
