@@ -46,22 +46,27 @@ class BlockContext(NamedTuple):
 def resolve_kernel(cfg: AnnealConfig) -> str:
     """Pick the fused-pass kernel: 'pallas2' (class-decomposed, fastest)
     on a real TPU backend when the chain count allows a 128-lane block,
-    'pallas' (v1) for smaller sublane-multiple chain counts, 'xla'
-    elsewhere — unless forced by cfg.kernel."""
+    'xla' elsewhere — unless forced by cfg.kernel.  ('pallas' v1 remains
+    selectable explicitly but is strictly slower than v2.)"""
     if cfg.kernel != "auto":
         return cfg.kernel
     if jax.default_backend() != "tpu":
         return "xla"
     if cfg.chains % 128 == 0:
         return "pallas2"
-    if cfg.chains % 8 == 0:
-        return "pallas"
     return "xla"
 
 
 def _repair_cost(state_slabs, q, u, ctx: BlockContext, cfg: AnnealConfig):
-    """Dispatch the fused repair+cost pass to the configured kernel."""
+    """Dispatch the fused repair+cost pass to the configured kernel.
+
+    The Mosaic lowering needs 128-lane chain blocks; under mesh sharding
+    the LOCAL chain count (state_slabs.shape[0]) can be smaller than
+    cfg.chains, so the lane check uses the actual operand shape."""
     kernel = resolve_kernel(cfg)
+    if (kernel.startswith("pallas") and jax.default_backend() == "tpu"
+            and state_slabs.shape[0] % 128 != 0):
+        kernel = "xla"
     if kernel == "pallas2":
         return pallas_repair2.repair_cost_pallas2(
             state_slabs, q, u, ctx.data, ctx.data_packed, ctx.cand_dist,

@@ -110,6 +110,91 @@ def compress_block(
     )
 
 
+def _compress_blocks_mesh(
+    parts: List[bytes],
+    cfg: AnnealConfig,
+    moves_per_block: Optional[int],
+    segment_iters: int = 256,
+    progress: Optional[Callable[[dict], None]] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 4,
+    resume: bool = False,
+    metrics: Optional[MetricsLogger] = None,
+) -> List[BlockResult]:
+    """Anneal equal-sized blocks CONCURRENTLY over the device mesh.
+
+    Blocks shard over the mesh's DCN-friendly axis, each block's chains
+    over the ICI axis with per-move exact best-exchange
+    (parallel/mesh.py).  This is the scale-out the reference lacks
+    entirely (SURVEY.md §2: parallelism NONE); the final ordered gather
+    of the ragged compressed streams happens host-side below.
+    """
+    from .parallel import mesh as mesh_mod
+
+    t0 = time.time()
+    B = len(parts)
+    n = len(parts[0])
+    assert all(len(p) == n for p in parts), "mesh path needs equal blocks"
+    m = mesh_mod.make_mesh(B)
+    ctxs = [engine.make_context(p, cfg) for p in parts]
+    ctx_stack = mesh_mod.replicate_for_blocks(ctxs)
+
+    if moves_per_block is None:
+        moves_per_block = reference_budget(n, cfg)
+    iters = max(1, moves_per_block // cfg.chains)
+
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        states = ckpt_mod.load(checkpoint_path)
+        done = int(np.asarray(states.moves_done)[0]) // cfg.chains
+    else:
+        states = mesh_mod.replicate_for_blocks(
+            [engine.init_state(c, cfg) for c in ctxs])
+        done = 0
+
+    step_fns = {}
+    segs = 0
+    while done < iters:
+        seg = min(segment_iters, iters - done)
+        if seg not in step_fns:
+            step_fns[seg] = mesh_mod.sharded_step(m, cfg, seg)
+        states = step_fns[seg](states, ctx_stack)
+        done += seg
+        segs += 1
+        if checkpoint_path and (segs % checkpoint_every == 0
+                                or done >= iters):
+            ckpt_mod.save(checkpoint_path, states)
+        his = np.asarray(states.best_hi)
+        los = np.asarray(states.best_lo)
+        info = {
+            "mesh_blocks": B,
+            "iter": done,
+            "iters": iters,
+            "moves": int(np.asarray(states.moves_done).sum()),
+            "best_bytes": round(sum(
+                18 + fp.to_int(h, l) / 16384.0 for h, l in zip(his, los)
+            ), 2),
+        }
+        if metrics is not None:
+            metrics.log(**info)
+        if progress is not None:
+            progress(info)
+
+    best_slabs = np.asarray(states.best_slab)
+    his = np.asarray(states.best_hi)
+    los = np.asarray(states.best_lo)
+    dt = time.time() - t0
+    results = []
+    for bi, part in enumerate(parts):
+        stream = emit_mod.emit(part, best_slabs[bi], dict_size=cfg.dict_size)
+        results.append(BlockResult(
+            stream=stream, raw_len=len(part),
+            predicted_bytes=18 + fp.to_int(his[bi], los[bi]) / 16384.0,
+            moves=iters * cfg.chains, seconds=dt / B,
+            kernel=engine.resolve_kernel(cfg),
+        ))
+    return results
+
+
 def compress(
     data: bytes,
     cfg: AnnealConfig = AnnealConfig(),
@@ -120,6 +205,7 @@ def compress(
     resume: bool = False,
     metrics: Optional[MetricsLogger] = None,
     max_retries: int = 1,
+    use_mesh: bool = True,
 ) -> bytes:
     """Compress to a plain .lzma (single block) or .mlz container.
 
@@ -134,7 +220,46 @@ def compress(
     if checkpoint_dir:
         os.makedirs(checkpoint_dir, exist_ok=True)
 
-    queue = [(bi, cfg, 0) for bi in range(len(parts))]
+    # Mesh fast path: all the full-size blocks anneal concurrently over
+    # the device mesh; the ragged tail block (and any mesh failure)
+    # falls through to the per-block queue below.
+    full = [bi for bi in range(len(parts))
+            if len(parts[bi]) == cfg.block_size]
+    mesh_done = []
+    if use_mesh and len(full) >= 2:
+        mesh_ck = (os.path.join(checkpoint_dir, "mesh.npz")
+                   if checkpoint_dir else None)
+        already = [bi for bi in full if checkpoint_dir and resume
+                   and os.path.exists(
+                       os.path.join(checkpoint_dir, f"block{bi}.lzma"))]
+        todo = [bi for bi in full if bi not in already]
+        moves = (max(1, total_moves // len(parts))
+                 if total_moves is not None else None)
+        if todo:
+            try:
+                rs = _compress_blocks_mesh(
+                    [parts[bi] for bi in todo], cfg, moves,
+                    progress=progress, checkpoint_path=mesh_ck,
+                    checkpoint_every=checkpoint_every, resume=resume,
+                    metrics=metrics)
+            except Exception as e:  # noqa: BLE001 — elastic boundary
+                sys.stderr.write(
+                    "mesh path failed (%s: %s); falling back per-block\n"
+                    % (type(e).__name__, str(e).splitlines()[0][:120]))
+            else:
+                for bi, r in zip(todo, rs):
+                    results[bi] = r
+                    if checkpoint_dir:
+                        with open(os.path.join(
+                                checkpoint_dir, f"block{bi}.lzma"),
+                                "wb") as f:
+                            f.write(r.stream)
+                mesh_done = todo
+                if mesh_ck and os.path.exists(mesh_ck):
+                    os.unlink(mesh_ck)
+
+    queue = [(bi, cfg, 0) for bi in range(len(parts))
+             if bi not in mesh_done]
     while queue:
         bi, bcfg, attempt = queue.pop(0)
         part = parts[bi]

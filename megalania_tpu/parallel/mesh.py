@@ -31,11 +31,14 @@ CHAIN_AXIS = "chain"
 
 
 def make_mesh(n_blocks: int = 1, devices: Sequence | None = None) -> Mesh:
-    """Mesh over available devices: blocks outer (DCN), chains inner (ICI)."""
+    """Mesh over available devices: blocks outer (DCN), chains inner (ICI).
+
+    The block-axis size must divide both the device count (mesh shape)
+    and n_blocks (even sharding of the stacked block dimension)."""
     devs = np.asarray(devices if devices is not None else jax.devices())
     total = devs.size
     b = min(n_blocks, total)
-    while total % b:
+    while total % b or n_blocks % b:
         b -= 1
     return Mesh(devs.reshape(b, total // b), (BLOCK_AXIS, CHAIN_AXIS))
 
@@ -107,10 +110,13 @@ def sharded_step(mesh: Mesh, cfg: AnnealConfig, n_iters: int):
 
     def per_block(state, ctx):
         # inside shard_map: leading block dim is the local shard (size
-        # B/b); vmap over it; scalars lose their block dim per-block
-        return jax.vmap(
-            lambda s, c: _local_step(s, c, cfg, n_iters)
-        )(state, ctx)
+        # B/b).  lax.map (not vmap) over it: a device runs its blocks
+        # sequentially — matching its real capacity — and the Pallas
+        # kernel is never batched (its small-sublane BlockSpecs don't
+        # admit a vmap batch dimension).
+        return jax.lax.map(
+            lambda sc: _local_step(sc[0], sc[1], cfg, n_iters),
+            (state, ctx))
 
     fn = shard_map(
         per_block, mesh=mesh,
