@@ -32,6 +32,12 @@ def main(argv=None):
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="force the JAX backend (some environments ignore "
                     "JAX_PLATFORMS; this uses jax.config, which always works)")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host: jax.distributed.initialize from "
+                    "JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
+                    "JAX_PROCESS_ID; blocks are round-robined over hosts "
+                    "and the container gathered in order (parallel/"
+                    "multihost.py)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     c = sub.add_parser("compress", help="anneal-compress a file")
@@ -69,6 +75,9 @@ def main(argv=None):
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    if args.distributed:
+        from .parallel import multihost
+        multihost.initialize()
 
     if args.cmd == "compress":
         data = open(args.file, "rb").read()

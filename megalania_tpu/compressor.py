@@ -220,11 +220,20 @@ def compress(
     if checkpoint_dir:
         os.makedirs(checkpoint_dir, exist_ok=True)
 
+    # Multi-host: each process owns a round-robin share of the blocks;
+    # the ordered ragged gather below reassembles the container
+    # identically on every host (SURVEY §5.8).
+    import jax
+    from .parallel import multihost
+    multi = jax.process_count() > 1
+    mine = set(multihost.my_blocks(len(parts))) if multi else set(
+        range(len(parts)))
+
     # Mesh fast path: all the full-size blocks anneal concurrently over
     # the device mesh; the ragged tail block (and any mesh failure)
     # falls through to the per-block queue below.
     full = [bi for bi in range(len(parts))
-            if len(parts[bi]) == cfg.block_size]
+            if len(parts[bi]) == cfg.block_size and bi in mine]
     mesh_done = []
     if use_mesh and len(full) >= 2:
         mesh_ck = (os.path.join(checkpoint_dir, "mesh.npz")
@@ -259,7 +268,7 @@ def compress(
                     os.unlink(mesh_ck)
 
     queue = [(bi, cfg, 0) for bi in range(len(parts))
-             if bi not in mesh_done]
+             if bi in mine and bi not in mesh_done]
     while queue:
         bi, bcfg, attempt = queue.pop(0)
         part = parts[bi]
@@ -296,6 +305,14 @@ def compress(
                 f.write(res.stream)
             if ck_path and os.path.exists(ck_path):
                 os.unlink(ck_path)
+
+    if multi:
+        streams = multihost.gather_streams(
+            {bi: results[bi].stream for bi in mine}, len(parts))
+        if len(streams) == 1:
+            return streams[0]
+        return blocks_mod.pack_container(streams,
+                                         [len(p) for p in parts])
 
     if len(results) == 1:
         return results[0].stream

@@ -60,3 +60,14 @@ def test_compress_mesh_path(tmp_path):
     blob2 = compressor.compress(data, cfg, total_moves=16 * 40,
                                 use_mesh=False)
     assert compressor.decompress(blob2) == data
+
+
+def test_multihost_single_process():
+    """Single-process degradation of the §5.8 multihost API: round-robin
+    ownership covers all blocks; the ordered ragged gather is identity."""
+    from megalania_tpu.parallel import multihost
+
+    assert multihost.initialize() == 0        # no coordinator -> no-op
+    assert multihost.my_blocks(5) == [0, 1, 2, 3, 4]
+    streams = {0: b"aa", 1: b"", 2: b"ccc"}
+    assert multihost.gather_streams(streams, 3) == [b"aa", b"", b"ccc"]

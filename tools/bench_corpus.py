@@ -1,0 +1,153 @@
+"""Corpus benchmark: this framework vs the reference binary vs xz -9e.
+
+Matched-budget comparison (VERDICT r1 item 6): for each corpus member
+the reference runs its fixed schedule (3 steps x 200 epochs x n moves,
+main.c:66-69) and we run the SAME total move count; sizes and moves/s
+are recorded side by side, plus `xz --format=lzma -9e` for context.
+Every output is decoded with the real xz binary and must round-trip.
+
+No Calgary/Silesia/enwik8 mirrors exist in this container (zero
+egress), so the corpus is assembled from real local files with the
+same coverage intent: english prose/markdown, source code, and binary.
+
+Usage:
+  python tools/bench_corpus.py [--sizes 2048,4096] [--skip-ref]
+                               [--out BENCH_CORPUS.json]
+Writes a JSON report and prints one line per (file, size).
+"""
+import sys; sys.path.insert(0, "/root/repo")
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import tempfile
+import time
+
+REF_BIN = "/tmp/refbuild/megalania"
+REF_SRC = "/root/reference"
+
+CORPUS = [
+    ("survey.md",  "/root/repo/SURVEY.md"),              # english/markdown
+    ("pallas.md",  "/opt/skills/guides/pallas_guide.md"),  # technical prose
+    ("engine.py",  "/root/repo/megalania_tpu/anneal/engine.py"),  # source
+    ("libc.so",    None),                                  # binary (found below)
+]
+
+
+def find_binary():
+    for p in ("/usr/lib/x86_64-linux-gnu/libc.so.6", "/bin/ls",
+              "/usr/bin/xz"):
+        if os.path.exists(p):
+            return p
+    return "/bin/sh"
+
+
+def ensure_ref():
+    if os.path.exists(REF_BIN):
+        return True
+    try:
+        shutil.copytree(REF_SRC, "/tmp/refbuild", dirs_exist_ok=True)
+        subprocess.run(["make", "-C", "/tmp/refbuild", "megalania"],
+                       check=True, capture_output=True)
+        return True
+    except Exception as e:  # noqa: BLE001
+        print("reference build failed:", e, file=sys.stderr)
+        return False
+
+
+def xz_decode_ok(blob: bytes, want: bytes) -> bool:
+    with tempfile.NamedTemporaryFile(suffix=".lzma", delete=False) as f:
+        f.write(blob)
+        path = f.name
+    try:
+        r = subprocess.run(["xz", "--format=lzma", "-dc", path],
+                           capture_output=True)
+        return r.stdout == want
+    finally:
+        os.unlink(path)
+
+
+def run_reference(data: bytes):
+    with tempfile.NamedTemporaryFile(delete=False) as f:
+        f.write(data)
+        path = f.name
+    try:
+        t0 = time.time()
+        r = subprocess.run([REF_BIN, path], capture_output=True,
+                           check=True)
+        dt = time.time() - t0
+        moves = 3 * 200 * len(data)
+        return {"bytes": len(r.stdout), "seconds": round(dt, 2),
+                "moves": moves, "moves_per_s": round(moves / dt, 1),
+                "decodes": xz_decode_ok(r.stdout, data)}
+    finally:
+        os.unlink(path)
+
+
+def run_ours(data: bytes, moves: int, chains: int):
+    from megalania_tpu import compressor
+    from megalania_tpu.anneal.config import AnnealConfig
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    cb = chains if chains % 128 == 0 else 128
+    cfg = AnnealConfig(chains=chains, chain_block=cb)
+    # warm the compile outside the timed window (same shapes)
+    compressor.compress(data, cfg, total_moves=chains)
+    t0 = time.time()
+    blob = compressor.compress(data, cfg, total_moves=moves)
+    dt = time.time() - t0
+    return {"bytes": len(blob), "seconds": round(dt, 2), "moves": moves,
+            "moves_per_s": round(moves / dt, 1),
+            "decodes": xz_decode_ok(blob, data)}
+
+
+def run_xz(data: bytes):
+    with tempfile.NamedTemporaryFile(delete=False) as f:
+        f.write(data)
+        path = f.name
+    try:
+        r = subprocess.run(["xz", "--format=lzma", "-9e", "-c", path],
+                           capture_output=True, check=True)
+        return {"bytes": len(r.stdout)}
+    finally:
+        os.unlink(path)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="2048,4096")
+    ap.add_argument("--chains", type=int, default=512)
+    ap.add_argument("--skip-ref", action="store_true")
+    ap.add_argument("--budget-scale", type=float, default=1.0,
+                    help="fraction of the reference budget to run")
+    ap.add_argument("--out", default="BENCH_CORPUS.json")
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
+
+    have_ref = (not args.skip_ref) and ensure_ref()
+    report = {"sizes": sizes, "chains": args.chains,
+              "budget_scale": args.budget_scale, "rows": []}
+    for name, path in CORPUS:
+        path = path or find_binary()
+        raw = open(path, "rb").read()
+        for n in sizes:
+            if len(raw) < n:
+                continue
+            data = raw[:n]
+            budget = int(3 * 200 * n * args.budget_scale)
+            row = {"file": name, "n": n, "budget": budget}
+            row["xz9e"] = run_xz(data)
+            if have_ref and args.budget_scale == 1.0:
+                row["reference"] = run_reference(data)
+            row["ours"] = run_ours(data, budget, args.chains)
+            report["rows"].append(row)
+            print(json.dumps(row), flush=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()
