@@ -155,28 +155,39 @@ def _bit_length(d):
 
 def _kernel(slabT_ref, qu_ref, data_ref, dpk_ref, cand_d_ref, cand_l_ref,
             corrw_ref, rtoff_ref, out_slabT_ref, probsC_ref, misc_ref,
-            s_ref, *, n, R, M, CB):
+            s_ref, carry_ref, *, n, R, M, CB, TILE):
+    """Grid = (chain_block, position_tile).  The probability state
+    (s_ref) and the 16-row scan carry (carry_ref) persist in VMEM
+    scratch across the position tiles of one chain block; tiled inputs
+    (slab, candidate tables, data) are auto-pipelined HBM->VMEM by the
+    grid, so blocks far larger than VMEM stream through (the 64 KiB
+    design point, config.block_size)."""
+    pt = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
     q = qu_ref[0:1, :]                                        # [1, CB]
     u = qu_ref[1:2, :]
     corrw = corrw_ref[:]                                      # [1, 128]
     rtoff = rtoff_ref[:]                                      # [1, 128]
     dpk = dpk_ref[:]                                          # [R, 128]
 
-    s_ref[:] = jnp.full((PACKED_ROWS, CB), T.PROB_INIT, jnp.int32)
+    @pl.when(pt == 0)
+    def _():
+        s_ref[:] = jnp.full((PACKED_ROWS, CB), T.PROB_INIT, jnp.int32)
+        carry_ref[:] = jnp.zeros((16, CB), jnp.int32)
 
-    zc = jnp.zeros((1, CB), jnp.int32)
-    carry0 = (zc,) * 16
+    carry0 = tuple(carry_ref[j:j + 1, :] for j in range(16))
 
-    def body(i, carry):
+    def body(ii, carry):
         (ctx, d0, d1, d2, d3, live, hi, lo, since,
          rctx, rd0, rd1, rd2, rd3, rlive, _pad) = carry
+        i = pt * TILE + ii                                     # global pos
 
-        entry = slabT_ref[pl.ds(i, 1), :].astype(jnp.uint32)  # [1, CB]
-        byte = data_ref[i]                                    # scalar
-        cdT = jnp.transpose(cand_d_ref[pl.ds(i, 1), :])       # [M, 1]
-        clT = jnp.transpose(cand_l_ref[pl.ds(i, 1), :])
+        entry = slabT_ref[pl.ds(ii, 1), :].astype(jnp.uint32)  # [1, CB]
+        byte = data_ref[0, ii]                                # scalar
+        cdT = jnp.transpose(cand_d_ref[pl.ds(ii, 1), :])      # [M, 1]
+        clT = jnp.transpose(cand_l_ref[pl.ds(ii, 1), :])
 
-        active = live == i
+        active = (live == i) & (i < n)
         at_u = u == i
         rctx = jnp.where(at_u, ctx, rctx)
         rd0 = jnp.where(at_u, d0, rd0)
@@ -370,33 +381,46 @@ def _kernel(slabT_ref, qu_ref, data_ref, dpk_ref, cand_d_ref, cand_l_ref,
             | ((ptype.astype(jnp.uint32) & P.TYPE_MASK) << P.TYPE_SHIFT)
             | jnp.uint32(1 << P.LIVE_SHIFT),
             entry & jnp.uint32(~(1 << P.LIVE_SHIFT) & 0xFFFFFFFF))
-        out_slabT_ref[pl.ds(i, 1), :] = out_entry
+        out_slabT_ref[pl.ds(ii, 1), :] = out_entry
 
         live = live + jnp.where(active, length, 0)
         since = since + jnp.where(in_repair, 1, 0)
         return (ctx, d0, d1, d2, d3, live, hi, lo, since,
                 rctx, rd0, rd1, rd2, rd3, rlive, _pad)
 
-    (ctx, d0, d1, d2, d3, live, hi, lo, since,
-     rctx, rd0, rd1, rd2, rd3, rlive, _pad) = (
-        jax.lax.fori_loop(0, n, body, carry0))
+    final = jax.lax.fori_loop(0, TILE, body, carry0)
+    for j, v in enumerate(final):
+        carry_ref[j:j + 1, :] = v
 
-    probsC_ref[:] = s_ref[:]
-    misc_ref[0:1, :] = hi
-    misc_ref[1:2, :] = lo
-    misc_ref[2:3, :] = rctx
-    misc_ref[3:4, :] = rlive
-    misc_ref[4:5, :] = rd0
-    misc_ref[5:6, :] = rd1
-    misc_ref[6:7, :] = rd2
-    misc_ref[7:8, :] = rd3
+    @pl.when(pt == n_tiles - 1)
+    def _():
+        (ctx, d0, d1, d2, d3, live, hi, lo, since,
+         rctx, rd0, rd1, rd2, rd3, rlive, _pad) = final
+        probsC_ref[:] = s_ref[:]
+        misc_ref[0:1, :] = hi
+        misc_ref[1:2, :] = lo
+        misc_ref[2:3, :] = rctx
+        misc_ref[3:4, :] = rlive
+        misc_ref[4:5, :] = rd0
+        misc_ref[5:6, :] = rd1
+        misc_ref[6:7, :] = rd2
+        misc_ref[7:8, :] = rd3
+
+
+MAX_TILE = 2048          # positions per grid step (VMEM budget, see below)
 
 
 @functools.partial(jax.jit, static_argnames=("cb", "interpret"))
 def repair_cost_pallas2(slabs, q, u, data, data_packed, cand_dist, cand_len,
                         corr, cb: int = 128, interpret: bool = False):
     """Drop-in replacement for pallas_repair.repair_cost_pallas (v1) with
-    the class-decomposed layout; identical contract and results."""
+    the class-decomposed layout; identical contract and results.
+
+    Blocks longer than MAX_TILE positions stream through the kernel in
+    position tiles (grid dim 1) with the probability state resident in
+    scratch — VMEM holds one tile of slab/candidates, not the block:
+    at cb=256, tile=2048: slab 2*2 MiB + probs 2*1.8 MiB + cands
+    0.25 MiB ~= 8 MiB of the ~16 MiB budget, independent of n."""
     C, n = slabs.shape
     M = cand_dist.shape[1]
     n4 = data_packed.shape[1]
@@ -406,55 +430,64 @@ def repair_cost_pallas2(slabs, q, u, data, data_packed, cand_dist, cand_len,
         assert cb % 128 == 0, f"v2 kernel needs cb%128==0 on TPU, got {cb}"
     grid = C // cb
 
+    tile = min(n, MAX_TILE)
+    n_tiles = -(-n // tile)
+    n_pad = n_tiles * tile
+
     # packed data words as [R, 128] rows (row r = words 128r..128r+127);
     # _shared_lookup_wide gathers lane-locally then row-selects.
     R = max(2, -(-n4 // 128))
     dpkR = jnp.pad(data_packed, ((0, 0), (0, R * 128 - n4))).reshape(R, 128)
 
     qu = jnp.stack([q.astype(jnp.int32), u.astype(jnp.int32)])   # [2, C]
-    slabT = jnp.transpose(slabs)                                 # [n, C]
+    slabT = jnp.pad(jnp.transpose(slabs), ((0, n_pad - n), (0, 0)))
+    data2d = jnp.pad(data.astype(jnp.int32),
+                     (0, n_pad - n)).reshape(n_tiles, tile)
+    cd = jnp.pad(cand_dist, ((0, n_pad - n), (0, 0)))
+    cl = jnp.pad(cand_len, ((0, n_pad - n), (0, 0)))
     rtoff = jnp.asarray(rt_offset_table())
 
-    kern = functools.partial(_kernel, n=n, R=R, M=M, CB=cb)
+    kern = functools.partial(_kernel, n=n, R=R, M=M, CB=cb, TILE=tile)
     out_slabT, probsC, misc = pl.pallas_call(
         kern,
-        grid=(grid,),
+        grid=(grid, n_tiles),
         in_specs=[
-            pl.BlockSpec((n, cb), lambda g: (0, g),
+            pl.BlockSpec((tile, cb), lambda g, t: (t, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, cb), lambda g: (0, g),
+            pl.BlockSpec((2, cb), lambda g, t: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((R, 128), lambda g: (0, 0),
+            pl.BlockSpec((1, tile), lambda g, t: (t, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, 128), lambda g, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, M), lambda g: (0, 0),
+            pl.BlockSpec((tile, M), lambda g, t: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, M), lambda g: (0, 0),
+            pl.BlockSpec((tile, M), lambda g, t: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda g: (0, 0),
+            pl.BlockSpec((1, 128), lambda g, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda g: (0, 0),
+            pl.BlockSpec((1, 128), lambda g, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((n, cb), lambda g: (0, g),
+            pl.BlockSpec((tile, cb), lambda g, t: (t, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((PACKED_ROWS, cb), lambda g: (0, g),
+            pl.BlockSpec((PACKED_ROWS, cb), lambda g, t: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, cb), lambda g: (0, g),
+            pl.BlockSpec((8, cb), lambda g, t: (0, g),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, C), jnp.uint32),
+            jax.ShapeDtypeStruct((n_pad, C), jnp.uint32),
             jax.ShapeDtypeStruct((PACKED_ROWS, C), jnp.int32),
             jax.ShapeDtypeStruct((8, C), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((PACKED_ROWS, cb), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((PACKED_ROWS, cb), jnp.int32),
+                        pltpu.VMEM((16, cb), jnp.int32)],
         interpret=interpret,
-    )(slabT, qu, data.astype(jnp.int32), dpkR, cand_dist,
-      cand_len, corr, rtoff)
+    )(slabT, qu, data2d, dpkR, cd, cl, corr, rtoff)
 
-    flat = PL.flat_from_packed(jnp.transpose(probsC))
+    packed = jnp.transpose(probsC)        # [C, PACKED_ROWS] — canonical
     rdists = jnp.transpose(misc[4:8, :])
-    return (jnp.transpose(out_slabT), misc[0], misc[1], flat,
+    return (jnp.transpose(out_slabT[:n, :]), misc[0], misc[1], packed,
             misc[2], rdists, misc[3])

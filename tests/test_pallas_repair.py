@@ -86,3 +86,110 @@ def test_engine_pallas_matches_xla(ctx):
     assert int(sx.best_lo) == int(sp.best_lo)
     np.testing.assert_array_equal(np.asarray(sx.best_slab),
                                   np.asarray(sp.best_slab))
+
+
+def _run_v2(ctx, slabs, q, u, monkeypatch=None, max_tile=None):
+    from megalania_tpu.ops import pallas_repair2
+    corr = jnp.asarray(pallas_repair.log2_correction(interpret=True))
+    fn = pallas_repair2.repair_cost_pallas2
+    if max_tile is not None:
+        monkeypatch.setattr(pallas_repair2, "MAX_TILE", max_tile)
+        fn = fn.__wrapped__          # skip the jit cache (MAX_TILE is free)
+    got = list(fn(slabs, q, u, ctx.data, ctx.data_packed, ctx.cand_dist,
+                  ctx.cand_len, corr, cb=C, interpret=True))
+    from megalania_tpu.ops import problayout as PL
+    got[3] = PL.flat_from_packed(got[3])   # v2 returns the packed layout
+    want = repair_scan.repair_cost_batched(
+        slabs, q, u, ctx.data, ctx.cand_dist, ctx.cand_len, ctx.log2,
+    )
+    return got, want
+
+
+def _mutated_slabs(ctx, rng):
+    n = ctx.data.shape[0]
+    base = P.literal_slab(n)
+    slabs = np.broadcast_to(base, (C, n)).copy()
+    cd = np.asarray(ctx.cand_dist)
+    cl = np.asarray(ctx.cand_len)
+    for c in range(C):
+        for _ in range(6):
+            i = int(rng.integers(2, n - 4))
+            m = int(rng.integers(0, cd.shape[1]))
+            if cl[i, m] >= 2:
+                slabs[c, i] = P.pack_np(
+                    P.MATCH, cd[i, m], min(int(cl[i, m]), n - i))
+            slabs[c, int(rng.integers(1, n))] = P.pack_np(
+                P.LREP, int(rng.integers(0, 4)), 2)
+            slabs[c, int(rng.integers(1, n))] = P.pack_np(P.SREP, 0, 1)
+    n2 = n  # sites anywhere
+    q = jnp.asarray(rng.integers(0, n // 2, C), jnp.int32)
+    u = jnp.asarray(rng.integers(0, n2, C), jnp.int32)
+    return jnp.asarray(slabs), q, u
+
+
+def test_v2_parity_mutated(ctx, rng):
+    slabs, q, u = _mutated_slabs(ctx, rng)
+    got, want = _run_v2(ctx, slabs, q, u)
+    _check(got, want)
+
+
+def test_v2_parity_multitile(ctx, rng, monkeypatch):
+    """Position-tiled streaming (the 64 KiB design point, scaled down):
+    3 tiles of 64 over n=192, state carried across tiles in scratch."""
+    slabs, q, u = _mutated_slabs(ctx, rng)
+    got, want = _run_v2(ctx, slabs, q, u, monkeypatch, max_tile=64)
+    _check(got, want)
+
+
+def test_rank_kernel_parity(ctx, rng):
+    """Pallas ranking kernel == moves.rank_candidates, bit for bit."""
+    import jax
+    from megalania_tpu.ops import pallas_rank
+
+    n = ctx.data.shape[0]
+    slabs, q, _u = _mutated_slabs(ctx, rng)
+    cfg = AnnealConfig(chains=C, max_candidates=8, max_walk=48)
+    state = engine.init_state(ctx, cfg)
+    ch = state.chains
+
+    qs = jnp.asarray(rng.integers(0, n, C), jnp.int32)
+    rec_ctx = jnp.asarray(rng.integers(0, 12, C), jnp.int32)
+    rec_dists = jnp.asarray(
+        np.sort(rng.integers(0, n - 1, (C, 4)), axis=1), jnp.int32)
+
+    cands = jax.vmap(
+        lambda s, qq, rd: moves.enumerate_candidates(
+            s, qq, rd, ctx.data, ctx.rank, ctx.sparse, ctx.cand_dist,
+            ctx.cand_len, ctx.cand_count))(slabs, qs, rec_dists)
+
+    qc = jnp.clip(qs, 0, n - 1)
+    byte = ctx.data[qc]
+    mb = ctx.data[jnp.clip(qc - rec_dists[:, 0] - 1, 0, n - 1)]
+    want = jax.vmap(
+        lambda c, rp, rc, rd, b, m: moves.rank_candidates(
+            c, rp, rc, rd, b, m, ctx.log2, ctx.f2p)
+    )(cands, ch.rank_probs, rec_ctx, rec_dists, byte, mb)
+
+    from megalania_tpu.models import packets as P2
+    candp = P2.pack(cands.ptype, cands.dist, cands.length,
+                    cands.valid.astype(jnp.int32))
+    corr = jnp.asarray(pallas_repair.log2_correction(interpret=True))
+    got = pallas_rank.rank_pallas(
+        ch.rank_probs, candp, rec_ctx, rec_dists, qc, byte,
+        ctx.data_packed, corr, n, cb=C, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_engine_ranker_kernel_matches_xla(ctx):
+    """Same trajectory whether candidates are costed by the Pallas
+    ranking kernel (interpret) or by XLA gathers."""
+    cfg_x = AnnealConfig(chains=C, max_candidates=8, max_walk=48,
+                         top_k=12, ranker="xla")
+    cfg_k = AnnealConfig(chains=C, max_candidates=8, max_walk=48,
+                         top_k=12, ranker="kernel", chain_block=C)
+    sx = engine.run_iters(engine.init_state(ctx, cfg_x), ctx, cfg_x, 12)
+    sk = engine.run_iters(engine.init_state(ctx, cfg_k), ctx, cfg_k, 12)
+    assert int(sx.best_hi) == int(sk.best_hi)
+    assert int(sx.best_lo) == int(sk.best_lo)
+    np.testing.assert_array_equal(np.asarray(sx.best_slab),
+                                  np.asarray(sk.best_slab))
