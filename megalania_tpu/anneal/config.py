@@ -39,6 +39,7 @@ class AnnealConfig:
 
     # kernel selection for the fused repair+cost pass
     kernel: str = "auto"               # "auto" | "pallas" | "xla"
+    ranker: str = "auto"               # "auto" | "kernel" | "xla"
     chain_block: int = 128             # chains per Pallas kernel grid step
     #   (128 keeps the n=2048 working set within the 16 MiB VMEM budget:
     #    slabT in+out + probs + candidate tables ~ 6 MiB at cb=128)
@@ -57,6 +58,8 @@ class AnnealConfig:
             raise ValueError("chain_block must be a sublane multiple (8)")
         if self.kernel not in ("auto", "xla", "pallas", "pallas2"):
             raise ValueError(f"unknown kernel {self.kernel!r}")
+        if self.ranker not in ("auto", "kernel", "xla"):
+            raise ValueError(f"unknown ranker {self.ranker!r}")
 
     def iters(self, n: int) -> int:
         return self.iters_per_epoch if self.iters_per_epoch else n

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from ..match import candidates as C_
 from ..match.suffix import build_lce
 from ..models import packets as P
-from ..ops import pallas_repair, pallas_repair2, repair_scan, tables as T
+from ..ops import (pallas_rank, pallas_repair, pallas_repair2, problayout,
+                   repair_scan, tables as T)
 from ..utils import fixedpoint as fp
 from . import moves
 from .config import AnnealConfig
@@ -41,6 +42,7 @@ class BlockContext(NamedTuple):
     log2: jnp.ndarray        # int32[2048]
     data_packed: jnp.ndarray  # int32[1, ceil(n/4) padded] (pallas kernel)
     corr: jnp.ndarray        # int32[1, 128] packed log2 correction
+    f2p: jnp.ndarray         # int32[PROBS_PAD] flat->packed slot map
 
 
 def resolve_kernel(cfg: AnnealConfig) -> str:
@@ -55,6 +57,14 @@ def resolve_kernel(cfg: AnnealConfig) -> str:
     if cfg.chains % 128 == 0:
         return "pallas2"
     return "xla"
+
+
+def resolve_ranker(cfg: AnnealConfig) -> str:
+    """Candidate-costing backend: the Pallas ranking kernel whenever the
+    fused v2 kernel runs (same lane constraints), XLA gathers otherwise."""
+    if cfg.ranker != "auto":
+        return cfg.ranker
+    return "kernel" if resolve_kernel(cfg) == "pallas2" else "xla"
 
 
 def _repair_cost(state_slabs, q, u, ctx: BlockContext, cfg: AnnealConfig):
@@ -74,14 +84,20 @@ def _repair_cost(state_slabs, q, u, ctx: BlockContext, cfg: AnnealConfig):
             interpret=jax.default_backend() != "tpu",
         )
     if kernel == "pallas":
-        return pallas_repair.repair_cost_pallas(
+        out = pallas_repair.repair_cost_pallas(
             state_slabs, q, u, ctx.data, ctx.data_packed, ctx.cand_dist,
             ctx.cand_len, ctx.corr, cb=cfg.chain_block,
             interpret=jax.default_backend() != "tpu",
         )
-    return repair_scan.repair_cost_batched(
-        state_slabs, q, u, ctx.data, ctx.cand_dist, ctx.cand_len, ctx.log2,
-    )
+    else:
+        out = repair_scan.repair_cost_batched(
+            state_slabs, q, u, ctx.data, ctx.cand_dist, ctx.cand_len,
+            ctx.log2,
+        )
+    # canonical rank_probs layout is the class-packed one (problayout)
+    slabs, hi, lo, flat, rctx, rdists, rlive = out
+    return (slabs, hi, lo, problayout.packed_from_flat(flat), rctx, rdists,
+            rlive)
 
 
 class ChainState(NamedTuple):
@@ -122,6 +138,7 @@ def make_context(data: bytes, cfg: AnnealConfig) -> BlockContext:
         log2=jnp.asarray(T.LOG2_TABLE_I32),
         data_packed=jnp.asarray(pallas_repair.pack_data_words(arr)),
         corr=jnp.asarray(corr),
+        f2p=jnp.asarray(problayout.F2P_PAD),
     )
 
 
@@ -164,12 +181,39 @@ def _chains_iter(chains: ChainState, ctx: BlockContext, i_cool, step,
     rec_ctx = jnp.where(fresh, 0, chains.rec_ctx)
     rec_dists = jnp.where(fresh[:, None], 0, chains.rec_dists)
 
-    slab_prop = jax.vmap(
-        functools.partial(moves.propose, top_k=cfg.top_k),
-        in_axes=(0, 0, 0, 0, 0, None, None, None, None, None, None, 0, None),
-    )(chains.slab, q, rec_ctx, rec_dists, chains.rank_probs, ctx.data,
-      ctx.rank, ctx.sparse, ctx.cand_dist, ctx.cand_len, ctx.cand_count,
-      k_prop, ctx.log2)
+    ranker = resolve_ranker(cfg)
+    if (ranker == "kernel" and jax.default_backend() == "tpu"
+            and chains.slab.shape[0] % 128 != 0):
+        ranker = "xla"           # mesh-local shard below the lane width
+    if ranker == "kernel":
+        # enumeration (cheap, no prob reads) stays XLA-side; candidate
+        # costing runs in the Pallas ranking kernel against VMEM-resident
+        # packed probabilities — bit-identical to moves.rank_candidates
+        cands = jax.vmap(
+            lambda s, qq, rd: moves.enumerate_candidates(
+                s, qq, rd, ctx.data, ctx.rank, ctx.sparse, ctx.cand_dist,
+                ctx.cand_len, ctx.cand_count)
+        )(chains.slab, q, rec_dists)
+        qc = jnp.clip(q, 0, n - 1)
+        candp = P.pack(cands.ptype, cands.dist, cands.length,
+                       cands.valid.astype(jnp.int32))
+        metric = pallas_rank.rank_pallas(
+            chains.rank_probs, candp, rec_ctx, rec_dists, qc,
+            ctx.data[qc], ctx.data_packed, ctx.corr, n,
+            cb=cfg.chain_block,
+            interpret=jax.default_backend() != "tpu")
+        slab_prop = jax.vmap(
+            functools.partial(moves.apply_move, top_k=cfg.top_k),
+            in_axes=(0, 0, 0, 0, 0, 0, None),
+        )(chains.slab, q, rec_dists, cands, metric, k_prop, ctx.data)
+    else:
+        slab_prop = jax.vmap(
+            functools.partial(moves.propose, top_k=cfg.top_k),
+            in_axes=(0, 0, 0, 0, 0, None, None, None, None, None, None, 0,
+                     None, None),
+        )(chains.slab, q, rec_ctx, rec_dists, chains.rank_probs, ctx.data,
+          ctx.rank, ctx.sparse, ctx.cand_dist, ctx.cand_len, ctx.cand_count,
+          k_prop, ctx.log2, ctx.f2p)
     u = jax.vmap(lambda k: jax.random.randint(k, (), 0, n))(k_u)
     new_slab, hi, lo, probs, rctx, rdists, rlive = _repair_cost(
         slab_prop, q, u, ctx, cfg

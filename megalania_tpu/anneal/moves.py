@@ -29,7 +29,7 @@ from ..models import packets as P
 from ..ops import bitplan, tables as T
 
 SUBLENS = 3  # lengths evaluated per (dist, maxlen) entry: m, m*2//3, 2
-BIG = jnp.int32(2**30)
+BIG = 2 ** 30        # plain int: no backend init at import
 
 
 def _sublens(maxlen):
@@ -101,12 +101,16 @@ def gather_candidates(q, rec_dists, data, rank, sparse, cand_dist, cand_len,
 
 
 def rank_candidates(cands: Candidates, rank_probs, rec_ctx, rec_dists,
-                    byte, match_byte, log2):
-    """Amortized bit cost (cost // len) per candidate under ranking state."""
+                    byte, match_byte, log2, f2p):
+    """Amortized bit cost (cost // len) per candidate under ranking state.
+
+    rank_probs is the class-packed layout (ops/problayout.py) — the
+    same array the fused kernel emits, so the TPU path never reshuffles
+    probabilities; f2p is the flat->packed slot map (traced arg)."""
     def one(t, d, l):
         plan = bitplan.make_bit_plan(t, d, l, rec_ctx, rec_dists, byte,
                                      match_byte)
-        return bitplan.plan_cost(rank_probs, plan, log2)
+        return bitplan.plan_cost_packed(rank_probs, plan, log2, f2p)
 
     costs = jax.vmap(one)(cands.ptype, cands.dist, cands.length)
     metric = costs // jnp.maximum(cands.length, 1)
@@ -131,9 +135,30 @@ def biased_topk_choice(metric, valid, k, key, bias_draws=8,
     return idx[sel], count > 0
 
 
-def propose(slab, q, rec_ctx, rec_dists, rank_probs, data, rank, sparse,
-            cand_dist, cand_len, cand_count, key, log2, top_k=20):
-    """Generate one mutated slab for the chain.  Returns slab'."""
+def enumerate_candidates(slab, q, rec_dists, data, rank, sparse,
+                         cand_dist, cand_len, cand_count) -> Candidates:
+    """Candidate set at the (clipped) site, minus the incumbent packet.
+
+    Pure enumeration — no probability reads — so it is cheap on the XLA
+    side even when the costing runs in the Pallas ranking kernel."""
+    n = data.shape[0]
+    qc = jnp.clip(q, 0, n - 1)
+    cur_t, cur_d, cur_l, _ = P.unpack(slab[qc])
+    cands = gather_candidates(qc, rec_dists, data, rank, sparse, cand_dist,
+                              cand_len, cand_count)
+    same_as_cur = (
+        (cands.ptype == cur_t) & (cands.dist == cur_d)
+        & (cands.length == cur_l)
+    )
+    return cands._replace(valid=cands.valid & ~same_as_cur)
+
+
+def apply_move(slab, q, rec_dists, cands: Candidates, metric, key, data,
+               top_k=20):
+    """Boundary move or biased top-K resample; writes the mutation.
+
+    Consumes a precomputed candidate metric (from rank_candidates or the
+    Pallas ranking kernel — bit-identical by construction)."""
     n = data.shape[0]
     qc = jnp.clip(q, 0, n - 1)
     cur_t, cur_d, cur_l, _ = P.unpack(slab[qc])
@@ -162,28 +187,14 @@ def propose(slab, q, rec_ctx, rec_dists, rank_probs, data, rank, sparse,
     )
     do_shrink = coin & shrink_ok
     do_grow = coin & ~shrink_ok & grow_ok
-    do_boundary = do_shrink | do_grow
 
-    # ---- top-K resample ----------------------------------------------
-    cands = gather_candidates(qc, rec_dists, data, rank, sparse, cand_dist,
-                              cand_len, cand_count)
-    same_as_cur = (
-        (cands.ptype == cur_t) & (cands.dist == cur_d)
-        & (cands.length == cur_l)
-    )
-    valid = cands.valid & ~same_as_cur
-    byte = data[qc]
-    mb = data[jnp.clip(qc - rec_dists[0] - 1, 0, n - 1)]
-    metric = rank_candidates(
-        cands._replace(valid=valid), rank_probs, rec_ctx, rec_dists, byte,
-        mb, log2,
-    )
-    sel, any_valid = biased_topk_choice(metric, valid, top_k, k_topk)
+    # ---- top-K resample ------------------------------------------------
+    sel, any_valid = biased_topk_choice(metric, cands.valid, top_k, k_topk)
     sel_t = cands.ptype[sel]
     sel_d = cands.dist[sel]
     sel_l = cands.length[sel]
 
-    # ---- write the mutation ------------------------------------------
+    # ---- write the mutation --------------------------------------------
     new_q = jnp.where(
         do_shrink, P.pack(P.LIT, 0, 1),
         jnp.where(
@@ -198,3 +209,18 @@ def propose(slab, q, rec_ctx, rec_dists, rank_probs, data, rank, sparse,
     slab = slab.at[qc].set(new_q)
     slab = slab.at[jnp.clip(qc + 1, 0, n - 1)].set(new_q1)
     return slab
+
+
+def propose(slab, q, rec_ctx, rec_dists, rank_probs, data, rank, sparse,
+            cand_dist, cand_len, cand_count, key, log2, f2p, top_k=20):
+    """Generate one mutated slab for the chain (XLA ranking path)."""
+    n = data.shape[0]
+    qc = jnp.clip(q, 0, n - 1)
+    cands = enumerate_candidates(slab, q, rec_dists, data, rank, sparse,
+                                 cand_dist, cand_len, cand_count)
+    byte = data[qc]
+    mb = data[jnp.clip(qc - rec_dists[0] - 1, 0, n - 1)]
+    metric = rank_candidates(cands, rank_probs, rec_ctx, rec_dists, byte,
+                             mb, log2, f2p)
+    return apply_move(slab, q, rec_dists, cands, metric, key, data,
+                      top_k=top_k)

@@ -53,6 +53,10 @@ def main(argv=None):
     c.add_argument("--kernel", default="auto",
                    choices=["auto", "xla", "pallas", "pallas2"],
                    help="fused-pass kernel (auto: pick per backend)")
+    c.add_argument("--ranker", default="auto",
+                   choices=["auto", "kernel", "xla"],
+                   help="candidate-costing backend (auto: Pallas ranking "
+                   "kernel whenever the v2 fused kernel runs)")
     c.add_argument("--checkpoint", default=None, metavar="DIR",
                    help="checkpoint directory (per-block state + streams)")
     c.add_argument("--checkpoint-every", type=int, default=4,
@@ -84,6 +88,7 @@ def main(argv=None):
         cfg = AnnealConfig(
             chains=args.chains, block_size=args.block_size,
             top_k=args.top_k, seed=args.seed, kernel=args.kernel,
+            ranker=args.ranker,
         )
         progress = None if args.quiet else _progress_printer(time.time())
         metrics = None

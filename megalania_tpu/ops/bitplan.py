@@ -203,6 +203,22 @@ def plan_cost(probs, plan: BitPlan, log2):
     return jnp.sum(jnp.where(plan.active, c, 0)) + (plan.n_direct << T.PROB_BITS)
 
 
+def plan_cost_packed(packed, plan: BitPlan, log2, f2p):
+    """plan_cost against the class-packed probability layout.
+
+    `packed`: [PACKED_ROWS] per-chain vector (ops/problayout.py);
+    `f2p`: flat-slot -> packed-row map over PROBS_PAD (problayout.
+    F2P_PAD), passed as a traced argument like log2.  Slots that map to
+    -1 (alignment pads, DEAD_SLOT) read PROB_INIT — they are always
+    masked inactive, the value only keeps the gather in bounds.
+    """
+    safe = jnp.where(plan.active, plan.idx, T.DEAD_SLOT)
+    row = f2p[safe]
+    p = jnp.where(row >= 0, packed[jnp.maximum(row, 0)], T.PROB_INIT)
+    c = log2[jnp.where(plan.bit == 1, T.PROB_ONE - p, p)]
+    return jnp.sum(jnp.where(plan.active, c, 0)) + (plan.n_direct << T.PROB_BITS)
+
+
 def apply_plan(probs, plan: BitPlan, log2):
     """Cost the plan and adapt the probability table.  -> (probs', cost)."""
     safe = jnp.where(plan.active, plan.idx, T.DEAD_SLOT)

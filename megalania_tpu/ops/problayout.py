@@ -153,3 +153,26 @@ def flat_from_packed(packed_cT: np.ndarray) -> np.ndarray:
                               axis=1),
                      T.PROB_INIT)
     return out.at[:, :T.NUM_PROBS].set(base)
+
+
+# packed row -> flat slot (or -1 for alignment pad rows)
+PACKED_TO_FLAT = np.full(PACKED_ROWS, -1, np.int32)
+for _c in CLASSES:
+    PACKED_TO_FLAT[_c.row0:_c.row0 + _c.width] = _c.flat
+
+# flat slot -> packed row over the padded flat range (DEAD_SLOT lives in
+# the pad tail); traced-argument form for jitted consumers
+F2P_PAD = np.full(T.PROBS_PAD, -1, np.int32)
+F2P_PAD[:T.NUM_PROBS] = FLAT_TO_PACKED
+
+
+def packed_from_flat(flat_c):
+    """[C, PROBS_PAD] flat vectors -> [C, PACKED_ROWS] class layout.
+
+    Alignment pad rows get PROB_INIT (they are never read by slot math,
+    but keeping them at init matches a fresh kernel state bit-for-bit).
+    """
+    import jax.numpy as jnp
+    idx = jnp.asarray(np.maximum(PACKED_TO_FLAT, 0))
+    g = jnp.take(flat_c, idx, axis=1)
+    return jnp.where(jnp.asarray(PACKED_TO_FLAT) >= 0, g, T.PROB_INIT)

@@ -106,6 +106,7 @@ def sharded_step(mesh: Mesh, cfg: AnnealConfig, n_iters: int):
         log2=PSpec(BLOCK_AXIS),
         data_packed=PSpec(BLOCK_AXIS),
         corr=PSpec(BLOCK_AXIS),
+        f2p=PSpec(BLOCK_AXIS),
     )
 
     def per_block(state, ctx):

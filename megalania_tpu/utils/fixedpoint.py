@@ -6,6 +6,7 @@ x64 in JAX is undesirable on TPU, so totals are held as hi*2**16 + lo with
 """
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 LO_BITS = 16
@@ -44,4 +45,7 @@ def argmin(hi, lo):
     return jnp.argmin(masked_lo)
 
 
-INF_HI = jnp.int32(2**31 - 1)
+# plain numpy: a module-level jnp constant would initialize the JAX
+# backend at import time, locking the platform before the CLI's
+# --platform flag (or a test's config update) can choose it
+INF_HI = np.int32(2**31 - 1)

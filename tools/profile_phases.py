@@ -35,10 +35,11 @@ ch = state.chains
 q = jnp.where(ch.rec_live >= N, 0, ch.rec_live)
 prop = jax.jit(lambda ch, q: jax.vmap(
     functools.partial(moves.propose, top_k=cfg.top_k),
-    in_axes=(0, 0, 0, 0, 0, None, None, None, None, None, None, 0, None),
+    in_axes=(0, 0, 0, 0, 0, None, None, None, None, None, None, 0,
+           None, None),
 )(ch.slab, q, ch.rec_ctx, ch.rec_dists, ch.rank_probs, ctx.data,
   ctx.rank, ctx.sparse, ctx.cand_dist, ctx.cand_len, ctx.cand_count,
-  ch.key, ctx.log2))
+  ch.key, ctx.log2, ctx.f2p))
 timeit("propose", prop, ch, q)
 
 u = jnp.zeros(C, jnp.int32)

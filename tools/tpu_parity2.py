@@ -57,6 +57,9 @@ print("v2: n=%d C=%d cb=%d  %.4fs/pass  %.0f moves/s" % (
 
 want = jax.block_until_ready(repair_scan.repair_cost_batched(
     slabs_j, q, u, ctx.data, ctx.cand_dist, ctx.cand_len, ctx.log2))
+from megalania_tpu.ops import problayout as PL
+got = list(got)
+got[3] = PL.flat_from_packed(got[3])   # v2 returns the packed layout
 names = ("slab", "hi", "lo", "probs", "rec_ctx", "rec_dists", "rec_live")
 ok = True
 for nm, g, w in zip(names, got, want):
