@@ -35,11 +35,19 @@ class AnnealConfig:
 
     # parallel structure
     chains: int = 64                   # parallel annealing chains per block
+    proposals: int = 1                 # proposals costed per chain per pass
+    #   (best-of-P before acceptance; the reference costs 1, main.c:78)
     block_size: int = 1 << 16          # block sharding unit (<= 1 MiB)
 
     # kernel selection for the fused repair+cost pass
     kernel: str = "auto"               # "auto" | "pallas" | "xla"
     ranker: str = "auto"               # "auto" | "kernel" | "xla"
+
+    # mutation-site distribution: "byte" picks a byte position (site =
+    # containing/following live packet, weights by preceding length);
+    # "packet" picks uniformly over live packets, the reference's rule
+    # (packet_slab_neighbour.c:162-163), using the previous pass's count
+    site_mode: str = "byte"
     chain_block: int = 128             # chains per Pallas kernel grid step
     #   (128 keeps the n=2048 working set within the 16 MiB VMEM budget:
     #    slabT in+out + probs + candidate tables ~ 6 MiB at cb=128)
@@ -54,12 +62,16 @@ class AnnealConfig:
                 "limit of the 20-bit packet dist field (models/packets.py)")
         if self.chains < 1:
             raise ValueError("chains must be >= 1")
+        if self.proposals < 1:
+            raise ValueError("proposals must be >= 1")
         if self.chain_block % 8 != 0:
             raise ValueError("chain_block must be a sublane multiple (8)")
         if self.kernel not in ("auto", "xla", "pallas", "pallas2"):
             raise ValueError(f"unknown kernel {self.kernel!r}")
         if self.ranker not in ("auto", "kernel", "xla"):
             raise ValueError(f"unknown ranker {self.ranker!r}")
+        if self.site_mode not in ("byte", "packet"):
+            raise ValueError(f"unknown site_mode {self.site_mode!r}")
 
     def iters(self, n: int) -> int:
         return self.iters_per_epoch if self.iters_per_epoch else n

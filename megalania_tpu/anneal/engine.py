@@ -77,11 +77,14 @@ def _repair_cost(state_slabs, q, u, ctx: BlockContext, cfg: AnnealConfig):
     if (kernel.startswith("pallas") and jax.default_backend() == "tpu"
             and state_slabs.shape[0] % 128 != 0):
         kernel = "xla"
+    if kernel == "pallas" and cfg.site_mode != "byte":
+        kernel = "xla"       # v1 kernel has no live-ordinal tracking
     if kernel == "pallas2":
         return pallas_repair2.repair_cost_pallas2(
             state_slabs, q, u, ctx.data, ctx.data_packed, ctx.cand_dist,
             ctx.cand_len, ctx.corr, cb=cfg.chain_block,
             interpret=jax.default_backend() != "tpu",
+            site_mode=cfg.site_mode,
         )
     if kernel == "pallas":
         out = pallas_repair.repair_cost_pallas(
@@ -89,25 +92,30 @@ def _repair_cost(state_slabs, q, u, ctx: BlockContext, cfg: AnnealConfig):
             ctx.cand_len, ctx.corr, cb=cfg.chain_block,
             interpret=jax.default_backend() != "tpu",
         )
+        # live count from the output live bits (v1 has no ordinal carry)
+        count = jnp.sum(((out[0] >> P.LIVE_SHIFT) & 1).astype(jnp.int32),
+                        axis=1)
+        out = out + (count,)
     else:
         out = repair_scan.repair_cost_batched(
             state_slabs, q, u, ctx.data, ctx.cand_dist, ctx.cand_len,
-            ctx.log2,
+            ctx.log2, site_mode=cfg.site_mode,
         )
     # canonical rank_probs layout is the class-packed one (problayout)
-    slabs, hi, lo, flat, rctx, rdists, rlive = out
+    slabs, hi, lo, flat, rctx, rdists, rlive, count = out
     return (slabs, hi, lo, problayout.packed_from_flat(flat), rctx, rdists,
-            rlive)
+            rlive, count)
 
 
 class ChainState(NamedTuple):
     slab: jnp.ndarray        # uint32[C, n]
     cost_hi: jnp.ndarray     # int32[C]
     cost_lo: jnp.ndarray     # int32[C]
-    rank_probs: jnp.ndarray  # int32[C, PROBS_PAD]
+    rank_probs: jnp.ndarray  # int32[C, PACKED_ROWS] (class-packed layout)
     rec_ctx: jnp.ndarray     # int32[C]
     rec_dists: jnp.ndarray   # int32[C, 4]
     rec_live: jnp.ndarray    # int32[C]
+    live_count: jnp.ndarray  # int32[C] live packets after the last pass
     key: jnp.ndarray         # PRNG keys [C]
 
 
@@ -151,12 +159,13 @@ def init_state(ctx: BlockContext, cfg: AnnealConfig) -> AnnealState:
     ks = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
     keys_out, k_u = ks[:, 0], ks[:, 1]
     u = jax.vmap(lambda k: jax.random.randint(k, (), 0, n))(k_u)
-    slabs, hi, lo, probs, rctx, rdists, rlive = _repair_cost(
+    slabs, hi, lo, probs, rctx, rdists, rlive, count = _repair_cost(
         slab0, jnp.full(C, n, jnp.int32), u, ctx, cfg
     )
     chains = ChainState(
         slab=slabs, cost_hi=hi, cost_lo=lo, rank_probs=probs,
-        rec_ctx=rctx, rec_dists=rdists, rec_live=rlive, key=keys_out,
+        rec_ctx=rctx, rec_dists=rdists, rec_live=rlive, live_count=count,
+        key=keys_out,
     )
     return AnnealState(
         chains=chains,
@@ -169,21 +178,13 @@ def init_state(ctx: BlockContext, cfg: AnnealConfig) -> AnnealState:
     )
 
 
-def _chains_iter(chains: ChainState, ctx: BlockContext, i_cool, step,
-                 cfg: AnnealConfig) -> ChainState:
-    """One lockstep move for all C chains (chain-batched, single scan)."""
+def _propose(slabs, q, rec_ctx, rec_dists, rank_probs, keys,
+             ctx: BlockContext, cfg: AnnealConfig):
+    """One mutated slab per row (rows = chains, or chains x proposals)."""
     n = ctx.data.shape[0]
-    ks = jax.vmap(lambda k: jax.random.split(k, 4))(chains.key)
-    key_next, k_prop, k_u, k_acc = ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3]
-
-    fresh = chains.rec_live >= n         # recorded site ran off the end
-    q = jnp.where(fresh, 0, chains.rec_live)
-    rec_ctx = jnp.where(fresh, 0, chains.rec_ctx)
-    rec_dists = jnp.where(fresh[:, None], 0, chains.rec_dists)
-
     ranker = resolve_ranker(cfg)
     if (ranker == "kernel" and jax.default_backend() == "tpu"
-            and chains.slab.shape[0] % 128 != 0):
+            and slabs.shape[0] % 128 != 0):
         ranker = "xla"           # mesh-local shard below the lane width
     if ranker == "kernel":
         # enumeration (cheap, no prob reads) stays XLA-side; candidate
@@ -193,31 +194,88 @@ def _chains_iter(chains: ChainState, ctx: BlockContext, i_cool, step,
             lambda s, qq, rd: moves.enumerate_candidates(
                 s, qq, rd, ctx.data, ctx.rank, ctx.sparse, ctx.cand_dist,
                 ctx.cand_len, ctx.cand_count)
-        )(chains.slab, q, rec_dists)
+        )(slabs, q, rec_dists)
         qc = jnp.clip(q, 0, n - 1)
         candp = P.pack(cands.ptype, cands.dist, cands.length,
                        cands.valid.astype(jnp.int32))
         metric = pallas_rank.rank_pallas(
-            chains.rank_probs, candp, rec_ctx, rec_dists, qc,
+            rank_probs, candp, rec_ctx, rec_dists, qc,
             ctx.data[qc], ctx.data_packed, ctx.corr, n,
             cb=cfg.chain_block,
             interpret=jax.default_backend() != "tpu")
-        slab_prop = jax.vmap(
+        return jax.vmap(
             functools.partial(moves.apply_move, top_k=cfg.top_k),
             in_axes=(0, 0, 0, 0, 0, 0, None),
-        )(chains.slab, q, rec_dists, cands, metric, k_prop, ctx.data)
+        )(slabs, q, rec_dists, cands, metric, keys, ctx.data)
+    return jax.vmap(
+        functools.partial(moves.propose, top_k=cfg.top_k),
+        in_axes=(0, 0, 0, 0, 0, None, None, None, None, None, None, 0,
+                 None, None),
+    )(slabs, q, rec_ctx, rec_dists, rank_probs, ctx.data,
+      ctx.rank, ctx.sparse, ctx.cand_dist, ctx.cand_len, ctx.cand_count,
+      keys, ctx.log2, ctx.f2p)
+
+
+def _chains_iter(chains: ChainState, ctx: BlockContext, i_cool, step,
+                 cfg: AnnealConfig) -> ChainState:
+    """One lockstep move for all C chains (chain-batched, single scan).
+
+    With cfg.proposals = P > 1, each chain evaluates P independent
+    proposals in the same fused pass (they ride the chain/lane axis —
+    SURVEY §2's proposal parallelism; the reference costs exactly one,
+    main.c:78-102) and keeps the exact-best of the P before the
+    acceptance rule.  Each costed proposal is one reference move."""
+    n = ctx.data.shape[0]
+    Cn = chains.slab.shape[0]
+    Pn = cfg.proposals
+    ks = jax.vmap(lambda k: jax.random.split(k, 4))(chains.key)
+    key_next, k_prop, k_u, k_acc = ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3]
+
+    fresh = chains.rec_live >= n         # recorded site ran off the end
+    q = jnp.where(fresh, 0, chains.rec_live)
+    rec_ctx = jnp.where(fresh, 0, chains.rec_ctx)
+    rec_dists = jnp.where(fresh[:, None], 0, chains.rec_dists)
+
+    if Pn > 1:
+        def rep(x):
+            return jnp.repeat(x, Pn, axis=0)
+        k_prop = jax.vmap(lambda k: jax.random.split(k, Pn))(k_prop)
+        k_prop = k_prop.reshape((Cn * Pn,) + k_prop.shape[2:])
+        k_u = jax.vmap(lambda k: jax.random.split(k, Pn))(k_u)
+        k_u = k_u.reshape((Cn * Pn,) + k_u.shape[2:])
+        slab_in, q_in, rctx_in, rdists_in, probs_in, lc_in = (
+            rep(chains.slab), rep(q), rep(rec_ctx), rep(rec_dists),
+            rep(chains.rank_probs), rep(chains.live_count))
     else:
-        slab_prop = jax.vmap(
-            functools.partial(moves.propose, top_k=cfg.top_k),
-            in_axes=(0, 0, 0, 0, 0, None, None, None, None, None, None, 0,
-                     None, None),
-        )(chains.slab, q, rec_ctx, rec_dists, chains.rank_probs, ctx.data,
-          ctx.rank, ctx.sparse, ctx.cand_dist, ctx.cand_len, ctx.cand_count,
-          k_prop, ctx.log2, ctx.f2p)
-    u = jax.vmap(lambda k: jax.random.randint(k, (), 0, n))(k_u)
-    new_slab, hi, lo, probs, rctx, rdists, rlive = _repair_cost(
-        slab_prop, q, u, ctx, cfg
+        slab_in, q_in, rctx_in, rdists_in, probs_in, lc_in = (
+            chains.slab, q, rec_ctx, rec_dists, chains.rank_probs,
+            chains.live_count)
+
+    slab_prop = _propose(slab_in, q_in, rctx_in, rdists_in, probs_in,
+                         k_prop, ctx, cfg)
+    if cfg.site_mode == "packet":
+        hi_u = jnp.maximum(lc_in, 1)
+        u = jax.vmap(lambda k, h: jax.random.randint(k, (), 0, h))(
+            k_u, hi_u)
+    else:
+        u = jax.vmap(lambda k: jax.random.randint(k, (), 0, n))(k_u)
+    new_slab, hi, lo, probs, rctx, rdists, rlive, count = _repair_cost(
+        slab_prop, q_in, u, ctx, cfg
     )
+
+    if Pn > 1:
+        # exact lexicographic best-of-P per chain
+        hi2 = hi.reshape(Cn, Pn)
+        lo2 = lo.reshape(Cn, Pn)
+        mh = jnp.min(hi2, axis=1, keepdims=True)
+        ml = jnp.where(hi2 == mh, lo2, jnp.int32(2**31 - 1))
+        w = jnp.argmin(ml, axis=1)
+
+        def sel(x):
+            return x.reshape(Cn, Pn, *x.shape[1:])[jnp.arange(Cn), w]
+        new_slab, hi, lo, probs, rctx, rdists, rlive, count = (
+            sel(new_slab), sel(hi), sel(lo), sel(probs), sel(rctx),
+            sel(rdists), sel(rlive), sel(count))
 
     # acceptance: first / better / cooled transition (main.c:86)
     iters = jnp.float32(cfg.iters(n))
@@ -235,7 +293,8 @@ def _chains_iter(chains: ChainState, ctx: BlockContext, i_cool, step,
     cost_lo = jnp.where(accept, lo, chains.cost_lo)
     return ChainState(
         slab=slab_cur, cost_hi=cost_hi, cost_lo=cost_lo, rank_probs=probs,
-        rec_ctx=rctx, rec_dists=rdists, rec_live=rlive, key=key_next,
+        rec_ctx=rctx, rec_dists=rdists, rec_live=rlive, live_count=count,
+        key=key_next,
     )
 
 
@@ -288,7 +347,7 @@ def anneal_iteration(state: AnnealState, ctx: BlockContext,
         best_lo=best_lo,
         it_in_epoch=jnp.where(restart, 0, it),
         epochs_done=state.epochs_done + jnp.where(restart, 1, 0),
-        moves_done=state.moves_done + Cn,
+        moves_done=state.moves_done + Cn * cfg.proposals,
     )
 
 

@@ -47,6 +47,8 @@ def main(argv=None):
     c.add_argument("--block-size", type=int, default=1 << 16)
     c.add_argument("--moves", type=int, default=None,
                    help="total anneal moves (default: reference budget)")
+    c.add_argument("--proposals", type=int, default=1,
+                   help="proposals costed per chain per pass (best-of-P)")
     c.add_argument("--top-k", type=int, default=20)
     c.add_argument("--seed", type=int, default=1673551)
     c.add_argument("--quiet", action="store_true")
@@ -88,7 +90,7 @@ def main(argv=None):
         cfg = AnnealConfig(
             chains=args.chains, block_size=args.block_size,
             top_k=args.top_k, seed=args.seed, kernel=args.kernel,
-            ranker=args.ranker,
+            ranker=args.ranker, proposals=args.proposals,
         )
         progress = None if args.quiet else _progress_printer(time.time())
         metrics = None

@@ -155,7 +155,7 @@ def _bit_length(d):
 
 def _kernel(slabT_ref, qu_ref, data_ref, dpk_ref, cand_d_ref, cand_l_ref,
             corrw_ref, rtoff_ref, out_slabT_ref, probsC_ref, misc_ref,
-            s_ref, carry_ref, *, n, R, M, CB, TILE):
+            s_ref, carry_ref, *, n, R, M, CB, TILE, SITE):
     """Grid = (chain_block, position_tile).  The probability state
     (s_ref) and the 16-row scan carry (carry_ref) persist in VMEM
     scratch across the position tiles of one chain block; tiled inputs
@@ -179,7 +179,7 @@ def _kernel(slabT_ref, qu_ref, data_ref, dpk_ref, cand_d_ref, cand_l_ref,
 
     def body(ii, carry):
         (ctx, d0, d1, d2, d3, live, hi, lo, since,
-         rctx, rd0, rd1, rd2, rd3, rlive, _pad) = carry
+         rctx, rd0, rd1, rd2, rd3, rlive, pord) = carry
         i = pt * TILE + ii                                     # global pos
 
         entry = slabT_ref[pl.ds(ii, 1), :].astype(jnp.uint32)  # [1, CB]
@@ -188,7 +188,9 @@ def _kernel(slabT_ref, qu_ref, data_ref, dpk_ref, cand_d_ref, cand_l_ref,
         clT = jnp.transpose(cand_l_ref[pl.ds(ii, 1), :])
 
         active = (live == i) & (i < n)
-        at_u = u == i
+        # site selection: byte position (u==i) or live-packet ordinal
+        # (reference distribution, packet_slab_neighbour.c:162-163)
+        at_u = (pord == u) & active if SITE == "packet" else u == i
         rctx = jnp.where(at_u, ctx, rctx)
         rd0 = jnp.where(at_u, d0, rd0)
         rd1 = jnp.where(at_u, d1, rd1)
@@ -385,8 +387,9 @@ def _kernel(slabT_ref, qu_ref, data_ref, dpk_ref, cand_d_ref, cand_l_ref,
 
         live = live + jnp.where(active, length, 0)
         since = since + jnp.where(in_repair, 1, 0)
+        pord = pord + jnp.where(active, 1, 0)
         return (ctx, d0, d1, d2, d3, live, hi, lo, since,
-                rctx, rd0, rd1, rd2, rd3, rlive, _pad)
+                rctx, rd0, rd1, rd2, rd3, rlive, pord)
 
     final = jax.lax.fori_loop(0, TILE, body, carry0)
     for j, v in enumerate(final):
@@ -395,7 +398,7 @@ def _kernel(slabT_ref, qu_ref, data_ref, dpk_ref, cand_d_ref, cand_l_ref,
     @pl.when(pt == n_tiles - 1)
     def _():
         (ctx, d0, d1, d2, d3, live, hi, lo, since,
-         rctx, rd0, rd1, rd2, rd3, rlive, _pad) = final
+         rctx, rd0, rd1, rd2, rd3, rlive, pord) = final
         probsC_ref[:] = s_ref[:]
         misc_ref[0:1, :] = hi
         misc_ref[1:2, :] = lo
@@ -405,14 +408,18 @@ def _kernel(slabT_ref, qu_ref, data_ref, dpk_ref, cand_d_ref, cand_l_ref,
         misc_ref[5:6, :] = rd1
         misc_ref[6:7, :] = rd2
         misc_ref[7:8, :] = rd3
+        misc_ref[8:9, :] = pord
+        misc_ref[9:16, :] = jnp.zeros((7, CB), jnp.int32)
 
 
 MAX_TILE = 2048          # positions per grid step (VMEM budget, see below)
 
 
-@functools.partial(jax.jit, static_argnames=("cb", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cb", "interpret",
+                                              "site_mode"))
 def repair_cost_pallas2(slabs, q, u, data, data_packed, cand_dist, cand_len,
-                        corr, cb: int = 128, interpret: bool = False):
+                        corr, cb: int = 128, interpret: bool = False,
+                        site_mode: str = "byte"):
     """Drop-in replacement for pallas_repair.repair_cost_pallas (v1) with
     the class-decomposed layout; identical contract and results.
 
@@ -447,7 +454,8 @@ def repair_cost_pallas2(slabs, q, u, data, data_packed, cand_dist, cand_len,
     cl = jnp.pad(cand_len, ((0, n_pad - n), (0, 0)))
     rtoff = jnp.asarray(rt_offset_table())
 
-    kern = functools.partial(_kernel, n=n, R=R, M=M, CB=cb, TILE=tile)
+    kern = functools.partial(_kernel, n=n, R=R, M=M, CB=cb, TILE=tile,
+                             SITE=site_mode)
     out_slabT, probsC, misc = pl.pallas_call(
         kern,
         grid=(grid, n_tiles),
@@ -474,13 +482,13 @@ def repair_cost_pallas2(slabs, q, u, data, data_packed, cand_dist, cand_len,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((PACKED_ROWS, cb), lambda g, t: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, cb), lambda g, t: (0, g),
+            pl.BlockSpec((16, cb), lambda g, t: (0, g),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, C), jnp.uint32),
             jax.ShapeDtypeStruct((PACKED_ROWS, C), jnp.int32),
-            jax.ShapeDtypeStruct((8, C), jnp.int32),
+            jax.ShapeDtypeStruct((16, C), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((PACKED_ROWS, cb), jnp.int32),
                         pltpu.VMEM((16, cb), jnp.int32)],
@@ -490,4 +498,4 @@ def repair_cost_pallas2(slabs, q, u, data, data_packed, cand_dist, cand_len,
     packed = jnp.transpose(probsC)        # [C, PACKED_ROWS] — canonical
     rdists = jnp.transpose(misc[4:8, :])
     return (jnp.transpose(out_slabT[:n, :]), misc[0], misc[1], packed,
-            misc[2], rdists, misc[3])
+            misc[2], rdists, misc[3], misc[8])

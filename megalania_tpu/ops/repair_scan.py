@@ -29,6 +29,7 @@ Deviations from the reference, by design:
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -52,6 +53,7 @@ class RepairCarry(NamedTuple):
     rec_ctx: jnp.ndarray
     rec_dists: jnp.ndarray
     rec_live: jnp.ndarray
+    ord: jnp.ndarray         # live-packet ordinal of the current packet
 
 
 def _repair_entry(i, ptype, dist, length, carry: RepairCarry, data,
@@ -100,12 +102,20 @@ def _repair_entry(i, ptype, dist, length, carry: RepairCarry, data,
 
 
 def repair_step(carry: RepairCarry, i, entry, q, u, data, cand_d_row,
-                cand_l_row, log2):
+                cand_l_row, log2, site_mode="byte"):
     n = data.shape[0]
     active = i == carry.live_pos
 
-    # record the coder state for the *next* iteration's mutation site
-    at_u = i == u
+    # record the coder state for the *next* iteration's mutation site.
+    # site_mode "byte": u is a byte position -> the containing/following
+    # live packet (weights sites by preceding length); "packet": u is a
+    # live-packet ordinal -> uniform over live packets, the reference's
+    # distribution (packet_slab_neighbour.c:162-163) up to the one-pass
+    # staleness of the count the ordinal was drawn from.
+    if site_mode == "packet":
+        at_u = active & (carry.ord == u)
+    else:
+        at_u = i == u
     carry = carry._replace(
         rec_ctx=jnp.where(at_u, carry.ctx, carry.rec_ctx),
         rec_dists=jnp.where(at_u, carry.dists, carry.rec_dists),
@@ -150,6 +160,7 @@ def repair_step(carry: RepairCarry, i, entry, q, u, data, cand_d_row,
         rec_ctx=carry.rec_ctx,
         rec_dists=carry.rec_dists,
         rec_live=carry.rec_live,
+        ord=carry.ord + jnp.where(active, 1, 0),
     )
     return carry, out_entry
 
@@ -167,11 +178,12 @@ def _init_carry(C: int) -> RepairCarry:
         rec_ctx=jnp.zeros(C, jnp.int32),
         rec_dists=jnp.zeros((C, 4), jnp.int32),
         rec_live=jnp.zeros(C, jnp.int32),
+        ord=jnp.zeros(C, jnp.int32),
     )
 
 
 def repair_cost_batched(slabs, q, u, data, cand_dist, cand_len, log2,
-                        unroll: int = 1):
+                        unroll: int = 1, site_mode: str = "byte"):
     """Run the fused pass for C chains in one scan.
 
     slabs: uint32[C, n] mutated slabs; q, u: int32[C];
@@ -187,7 +199,8 @@ def repair_cost_batched(slabs, q, u, data, cand_dist, cand_len, log2,
     scan's xs (one row per step), never a gather at all.
 
     Returns (new_slabs [C,n] with live bits, cost_hi[C], cost_lo[C],
-    final_probs [C,P], rec_ctx[C], rec_dists[C,4], rec_live[C]).
+    final_probs [C,P], rec_ctx[C], rec_dists[C,4], rec_live[C],
+    live_count[C]).
     """
     C, n = slabs.shape
     init = (_init_carry(C), (data, log2))
@@ -196,7 +209,7 @@ def repair_cost_batched(slabs, q, u, data, cand_dist, cand_len, log2,
         carry, (d, lg) = carry_tab
         i, entries, cd_row, cl_row = xs
         body = jax.vmap(
-            repair_step,
+            functools.partial(repair_step, site_mode=site_mode),
             in_axes=(0, None, 0, 0, 0, None, None, None, None),
         )
         carry, outs = body(carry, i, entries, q, u, d, cd_row, cl_row, lg)
@@ -209,7 +222,8 @@ def repair_cost_batched(slabs, q, u, data, cand_dist, cand_len, log2,
         unroll=unroll,
     )
     return (jnp.transpose(new_slabs), carry.cost_hi, carry.cost_lo,
-            carry.probs, carry.rec_ctx, carry.rec_dists, carry.rec_live)
+            carry.probs, carry.rec_ctx, carry.rec_dists, carry.rec_live,
+            carry.ord)
 
 
 def repair_cost(slab, q, u, data, cand_dist, cand_len, log2,

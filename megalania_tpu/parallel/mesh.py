@@ -81,7 +81,7 @@ def sharded_step(mesh: Mesh, cfg: AnnealConfig, n_iters: int):
     BLOCK_AXIS.
     """
     chain_sharded = {"slab", "cost_hi", "cost_lo", "rank_probs", "rec_ctx",
-                     "rec_dists", "rec_live", "key"}
+                     "rec_dists", "rec_live", "live_count", "key"}
 
     def state_spec():
         chains = engine.ChainState(

@@ -67,3 +67,24 @@ def test_deterministic(cfg):
     assert fp.to_int(s1.best_hi, s1.best_lo) == fp.to_int(s2.best_hi, s2.best_lo)
     np.testing.assert_array_equal(np.asarray(s1.best_slab),
                                   np.asarray(s2.best_slab))
+
+
+def test_proposal_parallelism():
+    """P proposals per chain per pass: runs, counts moves as P x chains,
+    and converges at least as well as P=1 at matched iteration count."""
+    import jax.numpy as jnp
+    from megalania_tpu.anneal import engine
+    from megalania_tpu.anneal.config import AnnealConfig
+    from megalania_tpu.utils import fixedpoint as fp
+
+    data = (b"pack my box with five dozen liquor jugs. " * 8)[:256]
+    cfg1 = AnnealConfig(chains=8, max_candidates=8, max_walk=32, top_k=12)
+    cfgP = AnnealConfig(chains=8, max_candidates=8, max_walk=32, top_k=12,
+                        proposals=3)
+    ctx = engine.make_context(data, cfg1)
+    s1 = engine.run_iters(engine.init_state(ctx, cfg1), ctx, cfg1, 24)
+    sP = engine.run_iters(engine.init_state(ctx, cfgP), ctx, cfgP, 24)
+    assert int(sP.moves_done) == 3 * int(s1.moves_done)
+    # best-of-3 at equal iterations should not be worse
+    assert fp.to_int(sP.best_hi, sP.best_lo) <= fp.to_int(
+        s1.best_hi, s1.best_lo)

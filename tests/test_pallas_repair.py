@@ -34,7 +34,8 @@ def _run_both(ctx, slabs, q, u):
 
 
 def _check(got, want):
-    names = ("slab", "hi", "lo", "probs", "rec_ctx", "rec_dists", "rec_live")
+    names = ("slab", "hi", "lo", "probs", "rec_ctx", "rec_dists",
+             "rec_live", "live_count")
     for name, g, w in zip(names, got, want):
         g, w = np.asarray(g), np.asarray(w)
         if name == "probs":
@@ -193,3 +194,33 @@ def test_engine_ranker_kernel_matches_xla(ctx):
     assert int(sx.best_lo) == int(sk.best_lo)
     np.testing.assert_array_equal(np.asarray(sx.best_slab),
                                   np.asarray(sk.best_slab))
+
+
+def test_v2_parity_packet_site_mode(ctx, rng):
+    """site_mode='packet': ordinal site selection + live count, v2 vs
+    golden scan."""
+    from megalania_tpu.ops import pallas_repair2
+    slabs, q, _ = _mutated_slabs(ctx, rng)
+    Cn = slabs.shape[0]
+    u = jnp.asarray(rng.integers(0, 64, Cn), jnp.int32)  # ordinals
+    corr = jnp.asarray(pallas_repair.log2_correction(interpret=True))
+    got = list(pallas_repair2.repair_cost_pallas2.__wrapped__(
+        slabs, q, u, ctx.data, ctx.data_packed, ctx.cand_dist,
+        ctx.cand_len, corr, cb=C, interpret=True, site_mode="packet"))
+    from megalania_tpu.ops import problayout as PL
+    got[3] = PL.flat_from_packed(got[3])
+    want = repair_scan.repair_cost_batched(
+        slabs, q, u, ctx.data, ctx.cand_dist, ctx.cand_len, ctx.log2,
+        site_mode="packet")
+    _check(got, want)
+    assert int(np.asarray(want[7]).min()) > 0   # counts are real
+
+
+def test_engine_packet_site_mode(ctx):
+    """Engine smoke under the reference's uniform-over-live-packets
+    site rule; output parse stays valid (cost finite, decodes)."""
+    cfg = AnnealConfig(chains=C, max_candidates=8, max_walk=48,
+                       top_k=12, site_mode="packet")
+    s = engine.run_iters(engine.init_state(ctx, cfg), ctx, cfg, 12)
+    assert int(s.best_hi) < 2**30
+    assert int(s.moves_done) == 12 * C

@@ -60,7 +60,8 @@ want = jax.block_until_ready(repair_scan.repair_cost_batched(
 from megalania_tpu.ops import problayout as PL
 got = list(got)
 got[3] = PL.flat_from_packed(got[3])   # v2 returns the packed layout
-names = ("slab", "hi", "lo", "probs", "rec_ctx", "rec_dists", "rec_live")
+names = ("slab", "hi", "lo", "probs", "rec_ctx", "rec_dists",
+         "rec_live", "live_count")
 ok = True
 for nm, g, w in zip(names, got, want):
     g, w = np.asarray(g), np.asarray(w)
