@@ -48,6 +48,11 @@ class AnnealConfig:
     # "packet" picks uniformly over live packets, the reference's rule
     # (packet_slab_neighbour.c:162-163), using the previous pass's count
     site_mode: str = "byte"
+    # repair fallback for an un-re-aimable long rep: "litsrep" (ours) or
+    # "match" (reference-flavoured: best table match at the site,
+    # approximating the reference's in-repair top-K resample,
+    # packet_slab_neighbour.c:104-109)
+    lrep_fallback: str = "litsrep"
     chain_block: int = 128             # chains per Pallas kernel grid step
     #   (128 keeps the n=2048 working set within the 16 MiB VMEM budget:
     #    slabT in+out + probs + candidate tables ~ 6 MiB at cb=128)
@@ -72,6 +77,9 @@ class AnnealConfig:
             raise ValueError(f"unknown ranker {self.ranker!r}")
         if self.site_mode not in ("byte", "packet"):
             raise ValueError(f"unknown site_mode {self.site_mode!r}")
+        if self.lrep_fallback not in ("litsrep", "match"):
+            raise ValueError(
+                f"unknown lrep_fallback {self.lrep_fallback!r}")
 
     def iters(self, n: int) -> int:
         return self.iters_per_epoch if self.iters_per_epoch else n

@@ -77,14 +77,16 @@ def _repair_cost(state_slabs, q, u, ctx: BlockContext, cfg: AnnealConfig):
     if (kernel.startswith("pallas") and jax.default_backend() == "tpu"
             and state_slabs.shape[0] % 128 != 0):
         kernel = "xla"
-    if kernel == "pallas" and cfg.site_mode != "byte":
-        kernel = "xla"       # v1 kernel has no live-ordinal tracking
+    if kernel == "pallas" and (cfg.site_mode != "byte"
+                               or cfg.lrep_fallback != "litsrep"):
+        kernel = "xla"       # v1 kernel predates these semantics flags
     if kernel == "pallas2":
         return pallas_repair2.repair_cost_pallas2(
             state_slabs, q, u, ctx.data, ctx.data_packed, ctx.cand_dist,
             ctx.cand_len, ctx.corr, cb=cfg.chain_block,
             interpret=jax.default_backend() != "tpu",
             site_mode=cfg.site_mode,
+            lrep_fallback=cfg.lrep_fallback,
         )
     if kernel == "pallas":
         out = pallas_repair.repair_cost_pallas(
@@ -100,6 +102,7 @@ def _repair_cost(state_slabs, q, u, ctx: BlockContext, cfg: AnnealConfig):
         out = repair_scan.repair_cost_batched(
             state_slabs, q, u, ctx.data, ctx.cand_dist, ctx.cand_len,
             ctx.log2, site_mode=cfg.site_mode,
+            lrep_fallback=cfg.lrep_fallback,
         )
     # canonical rank_probs layout is the class-packed one (problayout)
     slabs, hi, lo, flat, rctx, rdists, rlive, count = out

@@ -59,6 +59,13 @@ def main(argv=None):
                    choices=["auto", "kernel", "xla"],
                    help="candidate-costing backend (auto: Pallas ranking "
                    "kernel whenever the v2 fused kernel runs)")
+    c.add_argument("--site-mode", default="byte",
+                   choices=["byte", "packet"],
+                   help="mutation-site distribution (packet = the "
+                   "reference's uniform-over-live-packets rule)")
+    c.add_argument("--lrep-fallback", default="litsrep",
+                   choices=["litsrep", "match"],
+                   help="repair fallback for unrepairable long reps")
     c.add_argument("--checkpoint", default=None, metavar="DIR",
                    help="checkpoint directory (per-block state + streams)")
     c.add_argument("--checkpoint-every", type=int, default=4,
@@ -91,6 +98,7 @@ def main(argv=None):
             chains=args.chains, block_size=args.block_size,
             top_k=args.top_k, seed=args.seed, kernel=args.kernel,
             ranker=args.ranker, proposals=args.proposals,
+            site_mode=args.site_mode, lrep_fallback=args.lrep_fallback,
         )
         progress = None if args.quiet else _progress_printer(time.time())
         metrics = None

@@ -155,7 +155,7 @@ def _bit_length(d):
 
 def _kernel(slabT_ref, qu_ref, data_ref, dpk_ref, cand_d_ref, cand_l_ref,
             corrw_ref, rtoff_ref, out_slabT_ref, probsC_ref, misc_ref,
-            s_ref, carry_ref, *, n, R, M, CB, TILE, SITE):
+            s_ref, carry_ref, *, n, R, M, CB, TILE, SITE, FB):
     """Grid = (chain_block, position_tile).  The probability state
     (s_ref) and the 16-row scan carry (carry_ref) persist in VMEM
     scratch across the position tiles of one chain block; tiled inputs
@@ -235,13 +235,29 @@ def _kernel(slabT_ref, qu_ref, data_ref, dpk_ref, cand_d_ref, cand_l_ref,
 
         is_ls = (ptype == P.LIT) | (ptype == P.SREP)
         is_lrep0 = ptype == P.LREP
+        if FB == "match":
+            # longest table match at i, smallest distance on ties
+            # (repair_scan._repair_entry semantics, bit-identical)
+            ml = jnp.max(clT, axis=0, keepdims=True)       # [1, 1]
+            bd = jnp.min(jnp.where(clT == ml, cdT, 2**30), axis=0,
+                         keepdims=True)
+            flen = jnp.minimum(ml, n - i)
+            use_m = is_lrep0 & ~lrep_ok & (flen >= 2)
+        else:
+            ml = bd = flen = jnp.zeros((1, 1), jnp.int32)
+            use_m = jnp.zeros((1, CB), jnp.bool_)
         r_type = jnp.where(
             is_ls, ls_type,
-            jnp.where(is_lrep0, jnp.where(lrep_ok, P.LREP, fb_type), ptype))
+            jnp.where(is_lrep0,
+                      jnp.where(lrep_ok, P.LREP,
+                                jnp.where(use_m, P.MATCH, fb_type)),
+                      ptype))
         r_dist = jnp.where(is_lrep0 & lrep_ok, lrep_idx,
-                           jnp.where(is_ls | is_lrep0, 0, dist))
-        r_len = jnp.where(is_lrep0 & ~lrep_ok, 1,
-                          jnp.where(is_ls, 1, length))
+                           jnp.where(use_m, bd,
+                                     jnp.where(is_ls | is_lrep0, 0, dist)))
+        r_len = jnp.where(use_m, flen,
+                          jnp.where(is_lrep0 & ~lrep_ok, 1,
+                                    jnp.where(is_ls, 1, length)))
 
         in_repair = active & (i >= q)
         ptype = jnp.where(in_repair, r_type, ptype)
@@ -416,10 +432,12 @@ MAX_TILE = 2048          # positions per grid step (VMEM budget, see below)
 
 
 @functools.partial(jax.jit, static_argnames=("cb", "interpret",
-                                              "site_mode"))
+                                              "site_mode",
+                                              "lrep_fallback"))
 def repair_cost_pallas2(slabs, q, u, data, data_packed, cand_dist, cand_len,
                         corr, cb: int = 128, interpret: bool = False,
-                        site_mode: str = "byte"):
+                        site_mode: str = "byte",
+                        lrep_fallback: str = "litsrep"):
     """Drop-in replacement for pallas_repair.repair_cost_pallas (v1) with
     the class-decomposed layout; identical contract and results.
 
@@ -455,7 +473,7 @@ def repair_cost_pallas2(slabs, q, u, data, data_packed, cand_dist, cand_len,
     rtoff = jnp.asarray(rt_offset_table())
 
     kern = functools.partial(_kernel, n=n, R=R, M=M, CB=cb, TILE=tile,
-                             SITE=site_mode)
+                             SITE=site_mode, FB=lrep_fallback)
     out_slabT, probsC, misc = pl.pallas_call(
         kern,
         grid=(grid, n_tiles),

@@ -57,7 +57,7 @@ class RepairCarry(NamedTuple):
 
 
 def _repair_entry(i, ptype, dist, length, carry: RepairCarry, data,
-                  cand_d_row, cand_l_row, n):
+                  cand_d_row, cand_l_row, n, lrep_fallback="litsrep"):
     """Apply the repair rules to one packet under the current state.
 
     cand_d_row/cand_l_row: the [M] candidate-table row at position i
@@ -90,19 +90,39 @@ def _repair_entry(i, ptype, dist, length, carry: RepairCarry, data,
 
     is_ls = (ptype == P.LIT) | (ptype == P.SREP)
     is_lrep = ptype == P.LREP
+
+    if lrep_fallback == "match":
+        # reference-flavoured fallback (packet_slab_neighbour.c:104-109
+        # resamples from the top-K; here: the longest table match at
+        # this position, smallest distance on ties — state-free, so it
+        # is identical across chains and kernels)
+        ml = jnp.max(cand_l_row)
+        bd = jnp.min(jnp.where(cand_l_row == ml, cand_d_row, 2**30))
+        flen = jnp.minimum(ml, n - i)
+        use_m = is_lrep & ~lrep_ok & (flen >= 2)
+    else:
+        bd = 0
+        flen = 0
+        use_m = jnp.bool_(False)
+
     new_type = jnp.where(
         is_ls, ls_type,
-        jnp.where(is_lrep, jnp.where(lrep_ok, P.LREP, fb_type), ptype),
+        jnp.where(is_lrep,
+                  jnp.where(lrep_ok, P.LREP,
+                            jnp.where(use_m, P.MATCH, fb_type)), ptype),
     )
     new_dist = jnp.where(is_lrep & lrep_ok, lrep_idx,
-                         jnp.where(is_ls | is_lrep, 0, dist))
-    new_len = jnp.where(is_lrep & ~lrep_ok, 1,
-                        jnp.where(is_ls, 1, length))
+                         jnp.where(use_m, bd,
+                                   jnp.where(is_ls | is_lrep, 0, dist)))
+    new_len = jnp.where(use_m, flen,
+                        jnp.where(is_lrep & ~lrep_ok, 1,
+                                  jnp.where(is_ls, 1, length)))
     return new_type, new_dist, new_len
 
 
 def repair_step(carry: RepairCarry, i, entry, q, u, data, cand_d_row,
-                cand_l_row, log2, site_mode="byte"):
+                cand_l_row, log2, site_mode="byte",
+                lrep_fallback="litsrep"):
     n = data.shape[0]
     active = i == carry.live_pos
 
@@ -125,7 +145,8 @@ def repair_step(carry: RepairCarry, i, entry, q, u, data, cand_d_row,
     ptype, dist, length, _ = P.unpack(entry)
     in_repair = active & (i >= q)
     r_type, r_dist, r_len = _repair_entry(
-        i, ptype, dist, length, carry, data, cand_d_row, cand_l_row, n
+        i, ptype, dist, length, carry, data, cand_d_row, cand_l_row, n,
+        lrep_fallback=lrep_fallback,
     )
     ptype = jnp.where(in_repair, r_type, ptype)
     dist = jnp.where(in_repair, r_dist, dist)
@@ -183,7 +204,8 @@ def _init_carry(C: int) -> RepairCarry:
 
 
 def repair_cost_batched(slabs, q, u, data, cand_dist, cand_len, log2,
-                        unroll: int = 1, site_mode: str = "byte"):
+                        unroll: int = 1, site_mode: str = "byte",
+                        lrep_fallback: str = "litsrep"):
     """Run the fused pass for C chains in one scan.
 
     slabs: uint32[C, n] mutated slabs; q, u: int32[C];
@@ -209,7 +231,8 @@ def repair_cost_batched(slabs, q, u, data, cand_dist, cand_len, log2,
         carry, (d, lg) = carry_tab
         i, entries, cd_row, cl_row = xs
         body = jax.vmap(
-            functools.partial(repair_step, site_mode=site_mode),
+            functools.partial(repair_step, site_mode=site_mode,
+                              lrep_fallback=lrep_fallback),
             in_axes=(0, None, 0, 0, 0, None, None, None, None),
         )
         carry, outs = body(carry, i, entries, q, u, d, cd_row, cl_row, lg)

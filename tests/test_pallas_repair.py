@@ -224,3 +224,24 @@ def test_engine_packet_site_mode(ctx):
     s = engine.run_iters(engine.init_state(ctx, cfg), ctx, cfg, 12)
     assert int(s.best_hi) < 2**30
     assert int(s.moves_done) == 12 * C
+
+
+def test_v2_parity_lrep_fallback_match(ctx, rng):
+    """lrep_fallback='match' (reference-flavoured repair), v2 vs scan."""
+    from megalania_tpu.ops import pallas_repair2, problayout as PL
+    slabs, q, u = _mutated_slabs(ctx, rng)
+    corr = jnp.asarray(pallas_repair.log2_correction(interpret=True))
+    got = list(pallas_repair2.repair_cost_pallas2.__wrapped__(
+        slabs, q, u, ctx.data, ctx.data_packed, ctx.cand_dist,
+        ctx.cand_len, corr, cb=C, interpret=True,
+        lrep_fallback="match"))
+    got[3] = PL.flat_from_packed(got[3])
+    want = repair_scan.repair_cost_batched(
+        slabs, q, u, ctx.data, ctx.cand_dist, ctx.cand_len, ctx.log2,
+        lrep_fallback="match")
+    _check(got, want)
+    # the variant must actually fire on this input: some repaired
+    # entries become matches where litsrep would have produced literals
+    base = repair_scan.repair_cost_batched(
+        slabs, q, u, ctx.data, ctx.cand_dist, ctx.cand_len, ctx.log2)
+    assert not np.array_equal(np.asarray(want[0]), np.asarray(base[0]))

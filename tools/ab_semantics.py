@@ -41,6 +41,8 @@ def main():
     variants = [
         {"site_mode": "byte"},
         {"site_mode": "packet"},
+        {"lrep_fallback": "match"},
+        {"site_mode": "packet", "lrep_fallback": "match"},
     ]
 
     wins = {}
