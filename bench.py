@@ -33,7 +33,12 @@ def main():
                              "SURVEY.md"), "rb").read()[:N]
     # one kernel grid step for all chains when the lane constraint allows
     cb = CHAINS if CHAINS % 128 == 0 else 128
-    cfg = AnnealConfig(chains=CHAINS, chain_block=cb)
+    cfg = AnnealConfig(
+        chains=CHAINS, chain_block=cb,
+        kernel=os.environ.get("BENCH_KERNEL", "auto"),
+        ranker=os.environ.get("BENCH_RANKER", "auto"),
+        proposals=int(os.environ.get("BENCH_PROPOSALS", "1")),
+    )
     ctx = engine.make_context(data, cfg)
     state = engine.init_state(ctx, cfg)
 
