@@ -60,17 +60,17 @@ def resolve_kernel(cfg: AnnealConfig) -> str:
 
 
 def resolve_ranker(cfg: AnnealConfig) -> str:
-    """Candidate-costing backend.
+    """Candidate-costing backend: the Pallas ranking kernel whenever the
+    fused v2 kernel runs (same lane constraints), XLA gathers otherwise.
 
-    The Pallas ranking kernel (ops/pallas_rank.py) is bit-identical and
-    ~3x faster per pass than XLA gathers, but its Mosaic compile does
-    not terminate in tolerable time on the real chip (>9.5 min measured,
-    round 2 cont. — PERF.md), so "auto" resolves to the XLA path and the
-    kernel stays opt-in via cfg.ranker="kernel" until its compile cost
-    is fixed."""
+    History note: the kernel originally costed literal candidates with 8
+    masked 768-row lit-class gathers, which made its Mosaic compile
+    intractable (>9.5 min).  Literals now cost XLA-side inside
+    rank_pallas (2.1 s compile, bit-identical), so the kernel is safe as
+    the default again — engine bench went 19.9k -> 103.9k moves/s."""
     if cfg.ranker != "auto":
         return cfg.ranker
-    return "xla"
+    return "kernel" if resolve_kernel(cfg) == "pallas2" else "xla"
 
 
 def _repair_cost(state_slabs, q, u, ctx: BlockContext, cfg: AnnealConfig):
@@ -207,9 +207,10 @@ def _propose(slabs, q, rec_ctx, rec_dists, rank_probs, keys,
         qc = jnp.clip(q, 0, n - 1)
         candp = P.pack(cands.ptype, cands.dist, cands.length,
                        cands.valid.astype(jnp.int32))
+        mb = ctx.data[jnp.clip(qc - rec_dists[:, 0] - 1, 0, n - 1)]
         metric = pallas_rank.rank_pallas(
             rank_probs, candp, rec_ctx, rec_dists, qc,
-            ctx.data[qc], ctx.data_packed, ctx.corr, n,
+            ctx.data[qc], mb, ctx.log2, ctx.f2p, ctx.corr, n,
             cb=cfg.chain_block,
             interpret=jax.default_backend() != "tpu")
         return jax.vmap(

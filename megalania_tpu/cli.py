@@ -57,9 +57,8 @@ def main(argv=None):
                    help="fused-pass kernel (auto: pick per backend)")
     c.add_argument("--ranker", default="auto",
                    choices=["auto", "kernel", "xla"],
-                   help="candidate-costing backend (auto: XLA gathers; "
-                   "'kernel' opts into the Pallas ranking kernel, whose "
-                   "Mosaic compile is currently impractically slow)")
+                   help="candidate-costing backend (auto: Pallas ranking "
+                   "kernel whenever the v2 fused kernel runs)")
     c.add_argument("--site-mode", default="byte",
                    choices=["byte", "packet"],
                    help="mutation-site distribution (packet = the "

@@ -64,11 +64,10 @@ def _exact_div(a, b):
     return q
 
 
-def _kernel(probs_ref, cand_ref, st_ref, dpk_ref, corrw_ref, rtoff_ref,
+def _kernel(probs_ref, cand_ref, st_ref, corrw_ref, rtoff_ref,
             out_ref, *, n, NC, CB):
     corrw = corrw_ref[:]
     rtoff = rtoff_ref[:]
-    dpk = dpk_ref[:]
     s_ref = probs_ref
 
     ctx = st_ref[ST_CTX:ST_CTX + 1, :]
@@ -76,12 +75,6 @@ def _kernel(probs_ref, cand_ref, st_ref, dpk_ref, corrw_ref, rtoff_ref,
     d1 = st_ref[ST_D1:ST_D1 + 1, :]
     d2 = st_ref[ST_D2:ST_D2 + 1, :]
     d3 = st_ref[ST_D3:ST_D3 + 1, :]
-    q = st_ref[ST_Q:ST_Q + 1, :]
-    byte = st_ref[ST_BYTE:ST_BYTE + 1, :]
-
-    jpos = jnp.clip(q - d0 - 1, 0, n - 1)
-    word = _shared_lookup_wide(jpos >> 2, dpk, CB)
-    mb = (word >> ((jpos & 3) * 8)) & 255
 
     def body(k, _):
         entry = cand_ref[pl.ds(k, 1), :].astype(jnp.uint32)
@@ -95,7 +88,10 @@ def _kernel(probs_ref, cand_ref, st_ref, dpk_ref, corrw_ref, rtoff_ref,
         is_srep = ptype == P.SREP
         is_lrep = ptype == P.LREP
         is_rep = is_srep | is_lrep
-        act = valid
+        # literal candidates are costed OUTSIDE the kernel (the 8 masked
+        # 768-row lit-class gathers per candidate made the Mosaic compile
+        # intractable — PERF.md); the wrapper overwrites their metric
+        act = valid & ~is_lit
 
         cost = jnp.zeros((1, CB), jnp.int32)
 
@@ -137,22 +133,6 @@ def _kernel(probs_ref, cand_ref, st_ref, dpk_ref, corrw_ref, rtoff_ref,
             cost += _bit_cost(s_ref, f"ltree{j}", idx, bit,
                               len_act & (j < nbits), corrw, CB)
 
-        # literal bits: per-lane byte (unlike the repair body, where the
-        # data byte is shared), so the lit class is a masked 768-row
-        # gather per bit — once per pass, only for the LIT candidate
-        lit_act = act & is_lit
-        ctx_ge7 = ctx >= 7
-        prefix_eq = jnp.ones((1, CB), jnp.int32)
-        for j in range(8):
-            sym = (1 << j) | (byte >> (8 - j))
-            lbit = (byte >> (7 - j)) & 1
-            mbit = (mb >> (7 - j)) & 1
-            matched = ctx_ge7 & (prefix_eq == 1)
-            sel = jnp.where(matched, 1 + mbit, 0)
-            cost += _bit_cost(s_ref, "lit", sel * 256 + sym, lbit,
-                              lit_act, corrw, CB)
-            prefix_eq = prefix_eq * (mbit == lbit).astype(jnp.int32)
-
         # distance coder (slots 15..25 + direct bits)
         act_d = act & is_match
         bl = _bit_length(dist)
@@ -186,12 +166,34 @@ def _kernel(probs_ref, cand_ref, st_ref, dpk_ref, corrw_ref, rtoff_ref,
     jax.lax.fori_loop(0, NC, body, 0)
 
 
+def _lit_metric(probsC, rec_ctx, rec_dists, byte, match_byte, log2, f2p):
+    """Exact literal-packet cost per chain via the flat bit plan.
+
+    One candidate per chain, so the XLA gather path is cheap; moved out
+    of the kernel because its masked 768-row lit-class gathers made the
+    Mosaic compile intractable (PERF.md).  len(lit)=1 => metric = cost."""
+    from . import bitplan
+
+    def one(rp, rc, rd, b, m):
+        plan = bitplan.make_bit_plan(jnp.int32(P.LIT), jnp.int32(0),
+                                     jnp.int32(1), rc, rd, b, m)
+        return bitplan.plan_cost_packed(rp, plan, log2, f2p)
+
+    return jax.vmap(one)(probsC, rec_ctx, rec_dists, byte, match_byte)
+
+
 @functools.partial(jax.jit, static_argnames=("n", "cb", "interpret"))
-def rank_pallas(probsC, candp, rec_ctx, rec_dists, q, byte, data_packed,
-                corr, n: int, cb: int = 128, interpret: bool = False):
+def rank_pallas(probsC, candp, rec_ctx, rec_dists, q, byte, match_byte,
+                log2, f2p, corr, n: int, cb: int = 128,
+                interpret: bool = False):
     """probsC: [C, PACKED_ROWS] packed class probs (chain-major);
     candp: [C, NC] packed candidate entries (live bit = valid);
-    -> metric [C, NC] int32 (BIG where invalid)."""
+    byte/match_byte: data byte at the site / byte one rep0 back;
+    -> metric [C, NC] int32 (BIG where invalid).
+
+    Non-literal candidates are costed in the kernel; literal candidates
+    (exactly one per chain in the enumeration) are costed by the XLA
+    plan path and merged here — same bits either way."""
     C, NC = candp.shape
     cb = min(cb, C)
     assert C % cb == 0, (C, cb)
@@ -205,10 +207,6 @@ def rank_pallas(probsC, candp, rec_ctx, rec_dists, q, byte, data_packed,
     st = st.at[ST_D3].set(rec_dists[:, 3])
     st = st.at[ST_Q].set(q)
     st = st.at[ST_BYTE].set(byte)
-
-    n4 = data_packed.shape[1]
-    R = max(2, -(-n4 // 128))
-    dpkR = jnp.pad(data_packed, ((0, 0), (0, R * 128 - n4))).reshape(R, 128)
 
     candT = jnp.pad(jnp.transpose(candp), ((0, NCp - NC), (0, 0)))
     probsT = jnp.transpose(probsC)          # [PACKED_ROWS, C]
@@ -225,8 +223,6 @@ def rank_pallas(probsC, candp, rec_ctx, rec_dists, q, byte, data_packed,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ST_ROWS, cb), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 128), lambda g: (0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 128), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 128), lambda g: (0, 0),
@@ -236,5 +232,12 @@ def rank_pallas(probsC, candp, rec_ctx, rec_dists, q, byte, data_packed,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((NCp, C), jnp.int32),
         interpret=interpret,
-    )(probsT, candT, st, dpkR, corr, rtoff)
-    return jnp.transpose(out[:NC, :])
+    )(probsT, candT, st, corr, rtoff)
+    metric = jnp.transpose(out[:NC, :])
+
+    lit_cost = _lit_metric(probsC, rec_ctx, rec_dists, byte, match_byte,
+                           log2, f2p)                        # [C]
+    cand_type = (candp >> P.TYPE_SHIFT) & P.TYPE_MASK
+    cand_valid = ((candp >> P.LIVE_SHIFT) & 1) == 1
+    is_lit_cand = (cand_type == P.LIT) & cand_valid
+    return jnp.where(is_lit_cand, lit_cost[:, None], metric)

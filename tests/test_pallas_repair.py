@@ -176,8 +176,8 @@ def test_rank_kernel_parity(ctx, rng):
                     cands.valid.astype(jnp.int32))
     corr = jnp.asarray(pallas_repair.log2_correction(interpret=True))
     got = pallas_rank.rank_pallas(
-        ch.rank_probs, candp, rec_ctx, rec_dists, qc, byte,
-        ctx.data_packed, corr, n, cb=C, interpret=True)
+        ch.rank_probs, candp, rec_ctx, rec_dists, qc, byte, mb,
+        ctx.log2, ctx.f2p, corr, n, cb=C, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
