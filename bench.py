@@ -31,8 +31,9 @@ def main():
 
     data = open(os.path.join(os.path.dirname(__file__) or ".",
                              "SURVEY.md"), "rb").read()[:N]
-    # one kernel grid step for all chains when the lane constraint allows
-    cb = CHAINS if CHAINS % 128 == 0 else 128
+    # one kernel grid step for all chains when the lane constraint allows;
+    # cb caps at 512 (the n=2048 VMEM budget), larger CHAINS add grid steps
+    cb = min(CHAINS, 512) if CHAINS % 128 == 0 else 128
     cfg = AnnealConfig(
         chains=CHAINS, chain_block=cb,
         kernel=os.environ.get("BENCH_KERNEL", "auto"),

@@ -73,19 +73,32 @@ def resolve_ranker(cfg: AnnealConfig) -> str:
     return "kernel" if resolve_kernel(cfg) == "pallas2" else "xla"
 
 
-def _repair_cost(state_slabs, q, u, ctx: BlockContext, cfg: AnnealConfig):
-    """Dispatch the fused repair+cost pass to the configured kernel.
+def _effective_kernel(cfg: AnnealConfig, rows: int) -> str:
+    """Kernel actually used for `rows` chain rows.
 
     The Mosaic lowering needs 128-lane chain blocks; under mesh sharding
-    the LOCAL chain count (state_slabs.shape[0]) can be smaller than
-    cfg.chains, so the lane check uses the actual operand shape."""
+    the LOCAL chain count can be smaller than cfg.chains, so the lane
+    check uses the actual operand row count."""
     kernel = resolve_kernel(cfg)
     if (kernel.startswith("pallas") and jax.default_backend() == "tpu"
-            and state_slabs.shape[0] % 128 != 0):
+            and rows % 128 != 0):
         kernel = "xla"
     if kernel == "pallas" and (cfg.site_mode != "byte"
                                or cfg.lrep_fallback != "litsrep"):
         kernel = "xla"       # v1 kernel predates these semantics flags
+    return kernel
+
+
+def _repair_cost(state_slabs, q, u, ctx: BlockContext, cfg: AnnealConfig,
+                 mut0=None, mut1=None):
+    """Dispatch the fused repair+cost pass to the configured kernel.
+
+    mut0/mut1: optional per-row mutated cell values for sites q/q+1.
+    The v2 kernel substitutes them in-stream while walking the slab (an
+    XLA scatter over [C, n] per pass was a measurable slice of
+    iteration time); on other kernels the caller must pre-apply them."""
+    kernel = _effective_kernel(cfg, state_slabs.shape[0])
+    assert mut0 is None or kernel == "pallas2"
     if kernel == "pallas2":
         return pallas_repair2.repair_cost_pallas2(
             state_slabs, q, u, ctx.data, ctx.data_packed, ctx.cand_dist,
@@ -93,6 +106,7 @@ def _repair_cost(state_slabs, q, u, ctx: BlockContext, cfg: AnnealConfig):
             interpret=jax.default_backend() != "tpu",
             site_mode=cfg.site_mode,
             lrep_fallback=cfg.lrep_fallback,
+            mut0=mut0, mut1=mut1,
         )
     if kernel == "pallas":
         out = pallas_repair.repair_cost_pallas(
@@ -189,12 +203,21 @@ def init_state(ctx: BlockContext, cfg: AnnealConfig) -> AnnealState:
 
 def _propose(slabs, q, rec_ctx, rec_dists, rank_probs, keys,
              ctx: BlockContext, cfg: AnnealConfig):
-    """One mutated slab per row (rows = chains, or chains x proposals)."""
+    """One proposed mutation per row (rows = chains, or chains x
+    proposals).
+
+    Returns (slab_for_pass, mut0, mut1): on the fused v2 kernel the
+    slab is returned unmutated plus the two mutated cell values for
+    in-kernel substitution at q/q+1; on other kernels the mutation is
+    scatter-applied here and mut0/mut1 are None."""
     n = ctx.data.shape[0]
+    rows = slabs.shape[0]
     ranker = resolve_ranker(cfg)
     if (ranker == "kernel" and jax.default_backend() == "tpu"
-            and slabs.shape[0] % 128 != 0):
+            and rows % 128 != 0):
         ranker = "xla"           # mesh-local shard below the lane width
+    fused_mut = _effective_kernel(cfg, rows) == "pallas2"
+
     if ranker == "kernel":
         # enumeration (cheap, no prob reads) stays XLA-side; candidate
         # costing runs in the Pallas ranking kernel against VMEM-resident
@@ -213,17 +236,25 @@ def _propose(slabs, q, rec_ctx, rec_dists, rank_probs, keys,
             ctx.data[qc], mb, ctx.log2, ctx.f2p, ctx.corr, n,
             cb=cfg.chain_block,
             interpret=jax.default_backend() != "tpu")
-        return jax.vmap(
+        if fused_mut:
+            v0, v1 = jax.vmap(
+                functools.partial(moves.select_mutation, top_k=cfg.top_k),
+                in_axes=(0, 0, 0, 0, 0, 0, None),
+            )(slabs, q, rec_dists, cands, metric, keys, ctx.data)
+            return slabs, v0, v1
+        slab2 = jax.vmap(
             functools.partial(moves.apply_move, top_k=cfg.top_k),
             in_axes=(0, 0, 0, 0, 0, 0, None),
         )(slabs, q, rec_dists, cands, metric, keys, ctx.data)
-    return jax.vmap(
+        return slab2, None, None
+    slab2 = jax.vmap(
         functools.partial(moves.propose, top_k=cfg.top_k),
         in_axes=(0, 0, 0, 0, 0, None, None, None, None, None, None, 0,
                  None, None),
     )(slabs, q, rec_ctx, rec_dists, rank_probs, ctx.data,
       ctx.rank, ctx.sparse, ctx.cand_dist, ctx.cand_len, ctx.cand_count,
       keys, ctx.log2, ctx.f2p)
+    return slab2, None, None     # scatter-applied; no kernel substitution
 
 
 def _chains_iter(chains: ChainState, ctx: BlockContext, i_cool, step,
@@ -261,8 +292,8 @@ def _chains_iter(chains: ChainState, ctx: BlockContext, i_cool, step,
             chains.slab, q, rec_ctx, rec_dists, chains.rank_probs,
             chains.live_count)
 
-    slab_prop = _propose(slab_in, q_in, rctx_in, rdists_in, probs_in,
-                         k_prop, ctx, cfg)
+    slab_prop, mut0, mut1 = _propose(slab_in, q_in, rctx_in, rdists_in,
+                                     probs_in, k_prop, ctx, cfg)
     if cfg.site_mode == "packet":
         hi_u = jnp.maximum(lc_in, 1)
         u = jax.vmap(lambda k, h: jax.random.randint(k, (), 0, h))(
@@ -270,7 +301,7 @@ def _chains_iter(chains: ChainState, ctx: BlockContext, i_cool, step,
     else:
         u = jax.vmap(lambda k: jax.random.randint(k, (), 0, n))(k_u)
     new_slab, hi, lo, probs, rctx, rdists, rlive, count = _repair_cost(
-        slab_prop, q_in, u, ctx, cfg
+        slab_prop, q_in, u, ctx, cfg, mut0=mut0, mut1=mut1
     )
 
     if Pn > 1:

@@ -153,12 +153,17 @@ def enumerate_candidates(slab, q, rec_dists, data, rank, sparse,
     return cands._replace(valid=cands.valid & ~same_as_cur)
 
 
-def apply_move(slab, q, rec_dists, cands: Candidates, metric, key, data,
-               top_k=20):
-    """Boundary move or biased top-K resample; writes the mutation.
+def select_mutation(slab, q, rec_dists, cands: Candidates, metric, key,
+                    data, top_k=20):
+    """Boundary move or biased top-K resample; returns the two mutated
+    cell values (v0 at qc, v1 at qc+1) WITHOUT writing the slab.
 
-    Consumes a precomputed candidate metric (from rank_candidates or the
-    Pallas ranking kernel — bit-identical by construction)."""
+    The fused v2 kernel substitutes these in-stream while it walks the
+    slab (an XLA scatter over [C, n] per pass was a measurable slice of
+    iteration time); apply_move below is the scatter form for the
+    XLA/v1 paths.  v0/v1 reproduce the historical double-write
+    semantics exactly, including the qc == n-1 case where the second
+    write lands on the same cell and reverts the mutation."""
     n = data.shape[0]
     qc = jnp.clip(q, 0, n - 1)
     cur_t, cur_d, cur_l, _ = P.unpack(slab[qc])
@@ -194,7 +199,7 @@ def apply_move(slab, q, rec_dists, cands: Candidates, metric, key, data,
     sel_d = cands.dist[sel]
     sel_l = cands.length[sel]
 
-    # ---- write the mutation --------------------------------------------
+    # ---- the two mutated cells -----------------------------------------
     new_q = jnp.where(
         do_shrink, P.pack(P.LIT, 0, 1),
         jnp.where(
@@ -206,8 +211,22 @@ def apply_move(slab, q, rec_dists, cands: Candidates, metric, key, data,
         do_shrink, P.pack(cur_t, cur_d, cur_l - 1),
         slab[jnp.clip(qc + 1, 0, n - 1)],
     )
-    slab = slab.at[qc].set(new_q)
-    slab = slab.at[jnp.clip(qc + 1, 0, n - 1)].set(new_q1)
+    # qc == n-1: both historical writes hit cell qc, last one wins
+    v0 = jnp.where(has_next, new_q, new_q1)
+    return v0, new_q1
+
+
+def apply_move(slab, q, rec_dists, cands: Candidates, metric, key, data,
+               top_k=20):
+    """Scatter form of select_mutation (XLA / v1-kernel paths)."""
+    n = data.shape[0]
+    qc = jnp.clip(q, 0, n - 1)
+    v0, v1 = select_mutation(slab, q, rec_dists, cands, metric, key, data,
+                             top_k=top_k)
+    has_next = qc + 1 < n
+    slab = slab.at[qc].set(v0)
+    slab = slab.at[jnp.clip(qc + 1, 0, n - 1)].set(
+        jnp.where(has_next, v1, v0))
     return slab
 
 

@@ -166,6 +166,9 @@ def _kernel(slabT_ref, qu_ref, data_ref, dpk_ref, cand_d_ref, cand_l_ref,
     n_tiles = pl.num_programs(1)
     q = qu_ref[0:1, :]                                        # [1, CB]
     u = qu_ref[1:2, :]
+    mpos = qu_ref[2:3, :]      # mutation site (-2: no substitution)
+    m0 = qu_ref[3:4, :].astype(jnp.uint32)   # cell value at mpos
+    m1 = qu_ref[4:5, :].astype(jnp.uint32)   # cell value at mpos+1
     corrw = corrw_ref[:]                                      # [1, 128]
     rtoff = rtoff_ref[:]                                      # [1, 128]
     dpk = dpk_ref[:]                                          # [R, 128]
@@ -183,6 +186,10 @@ def _kernel(slabT_ref, qu_ref, data_ref, dpk_ref, cand_d_ref, cand_l_ref,
         i = pt * TILE + ii                                     # global pos
 
         entry = slabT_ref[pl.ds(ii, 1), :].astype(jnp.uint32)  # [1, CB]
+        # in-stream mutation substitution (engine fused path; mpos=-1
+        # when the caller pre-applied the mutation to the slab)
+        entry = jnp.where(mpos == i, m0,
+                          jnp.where(mpos + 1 == i, m1, entry))
         byte = data_ref[0, ii]                                # scalar
         cdT = jnp.transpose(cand_d_ref[pl.ds(ii, 1), :])      # [M, 1]
         clT = jnp.transpose(cand_l_ref[pl.ds(ii, 1), :])
@@ -437,9 +444,15 @@ MAX_TILE = 2048          # positions per grid step (VMEM budget, see below)
 def repair_cost_pallas2(slabs, q, u, data, data_packed, cand_dist, cand_len,
                         corr, cb: int = 128, interpret: bool = False,
                         site_mode: str = "byte",
-                        lrep_fallback: str = "litsrep"):
+                        lrep_fallback: str = "litsrep",
+                        mut0=None, mut1=None):
     """Drop-in replacement for pallas_repair.repair_cost_pallas (v1) with
     the class-decomposed layout; identical contract and results.
+
+    mut0/mut1 (optional, uint32[C]): mutated cell values substituted
+    in-stream at positions q and q+1 while the kernel walks the slab —
+    equivalent to scatter-writing them into `slabs` first, without the
+    XLA scatter.
 
     Blocks longer than MAX_TILE positions stream through the kernel in
     position tiles (grid dim 1) with the probability state resident in
@@ -464,7 +477,19 @@ def repair_cost_pallas2(slabs, q, u, data, data_packed, cand_dist, cand_len,
     R = max(2, -(-n4 // 128))
     dpkR = jnp.pad(data_packed, ((0, 0), (0, R * 128 - n4))).reshape(R, 128)
 
-    qu = jnp.stack([q.astype(jnp.int32), u.astype(jnp.int32)])   # [2, C]
+    if mut0 is None:
+        mpos = jnp.full(C, -2, jnp.int32)   # -2: neither mpos nor mpos+1
+        #      can match a position index
+        m0 = jnp.zeros(C, jnp.int32)
+        m1 = jnp.zeros(C, jnp.int32)
+    else:
+        mpos = jnp.clip(q.astype(jnp.int32), 0, n - 1)
+        m0 = jax.lax.bitcast_convert_type(mut0.astype(jnp.uint32),
+                                          jnp.int32)
+        m1 = jax.lax.bitcast_convert_type(mut1.astype(jnp.uint32),
+                                          jnp.int32)
+    qu = jnp.stack([q.astype(jnp.int32), u.astype(jnp.int32),
+                    mpos, m0, m1])                               # [5, C]
     slabT = jnp.pad(jnp.transpose(slabs), ((0, n_pad - n), (0, 0)))
     data2d = jnp.pad(data.astype(jnp.int32),
                      (0, n_pad - n)).reshape(n_tiles, tile)
@@ -480,7 +505,7 @@ def repair_cost_pallas2(slabs, q, u, data, data_packed, cand_dist, cand_len,
         in_specs=[
             pl.BlockSpec((tile, cb), lambda g, t: (t, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, cb), lambda g, t: (0, g),
+            pl.BlockSpec((5, cb), lambda g, t: (0, g),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda g, t: (t, 0),
                          memory_space=pltpu.SMEM),

@@ -134,6 +134,36 @@ def test_v2_parity_mutated(ctx, rng):
     _check(got, want)
 
 
+def test_v2_inkernel_mutation_matches_scatter(ctx, rng):
+    """In-stream substitution of the two mutated cells at q/q+1 ==
+    scatter-writing them into the slab first, bit for bit — including
+    q == n-1, where only the q cell exists."""
+    from megalania_tpu.ops import pallas_repair2
+    n = ctx.data.shape[0]
+    slabs, q, u = _mutated_slabs(ctx, rng)
+    q = q.at[0].set(n - 1)                       # last-position edge case
+    corr = jnp.asarray(pallas_repair.log2_correction(interpret=True))
+    mut0 = jnp.asarray(
+        P.pack_np(P.SREP, np.zeros(C, np.int64), np.ones(C, np.int64)))
+    mut1 = jnp.asarray(
+        P.pack_np(P.LREP, rng.integers(0, 4, C), np.full(C, 2)))
+
+    qc = jnp.clip(q, 0, n - 1)
+    has_next = qc + 1 < n
+    scattered = slabs.at[jnp.arange(C), qc].set(mut0)
+    scattered = scattered.at[jnp.arange(C), jnp.clip(qc + 1, 0, n - 1)].set(
+        jnp.where(has_next, mut1, mut0))
+    want = pallas_repair2.repair_cost_pallas2(
+        scattered, q, u, ctx.data, ctx.data_packed, ctx.cand_dist,
+        ctx.cand_len, corr, cb=C, interpret=True)
+    got = pallas_repair2.repair_cost_pallas2(
+        slabs, q, u, ctx.data, ctx.data_packed, ctx.cand_dist,
+        ctx.cand_len, corr, cb=C, interpret=True,
+        mut0=mut0, mut1=mut1)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
 def test_v2_parity_multitile(ctx, rng, monkeypatch):
     """Position-tiled streaming (the 64 KiB design point, scaled down):
     3 tiles of 64 over n=192, state carried across tiles in scratch."""

@@ -1,0 +1,72 @@
+"""End-to-end 64 KiB block on the real chip: anneal, emit, xz-verify.
+
+VERDICT r1 item 3: prove the position-tiled v2 kernel holds the
+config.block_size = 64 KiB design point on hardware — compile, run a
+budget of real moves, emit the winning parse, round-trip through the
+real xz binary, and record moves/s + sizes.
+
+The full reference budget at n=64Ki (600n = 39M moves) is hours; this
+runs a configurable budget (default 128 iterations x chains moves) to
+prove the path and measure steady-state throughput at n=65536.
+
+Usage: python tools/run_64k_block.py [moves] [chains]
+"""
+import sys; sys.path.insert(0, "/root/repo")
+import json
+import subprocess
+import tempfile
+import time
+import os
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from megalania_tpu import compressor
+from megalania_tpu.anneal.config import AnnealConfig
+
+N = 1 << 16
+CHAINS = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+MOVES = int(sys.argv[1]) if len(sys.argv) > 1 else 128 * CHAINS
+
+
+def main():
+    raw = b""
+    for p in ("/root/repo/SURVEY.md", "/opt/skills/guides/pallas_guide.md",
+              "/root/repo/PERF.md", "/root/repo/README.md"):
+        raw += open(p, "rb").read()
+    data = (raw * (N // len(raw) + 1))[:N]
+
+    cfg = AnnealConfig(chains=CHAINS, chain_block=min(CHAINS, 256),
+                       block_size=N)
+    t0 = time.time()
+    res = compressor.compress_block(data, cfg, total_moves=MOVES)
+    dt = time.time() - t0
+
+    with tempfile.NamedTemporaryFile(suffix=".lzma", delete=False) as f:
+        f.write(res.stream)
+        path = f.name
+    dec = subprocess.run(["xz", "--format=lzma", "-dc", path],
+                         capture_output=True)
+    os.unlink(path)
+    ok = dec.stdout == data
+
+    xz = subprocess.run(["xz", "--format=lzma", "-9e", "-c"], input=data,
+                        capture_output=True).stdout
+    out = {
+        "n": N, "chains": CHAINS, "moves": res.moves,
+        "seconds": round(dt, 1),
+        "anneal_seconds": round(res.seconds, 1),
+        "moves_per_s": round(res.moves / max(res.seconds, 1e-9), 1),
+        "bytes": len(res.stream), "predicted": round(res.predicted_bytes, 1),
+        "xz9e_bytes": len(xz),
+        "xz_roundtrip_ok": ok,
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(out))
+    assert ok, "xz round trip FAILED"
+
+
+if __name__ == "__main__":
+    main()
