@@ -32,8 +32,11 @@ def main():
     data = open(os.path.join(os.path.dirname(__file__) or ".",
                              "SURVEY.md"), "rb").read()[:N]
     # one kernel grid step for all chains when the lane constraint allows;
-    # cb caps at 512 (the n=2048 VMEM budget), larger CHAINS add grid steps
-    cb = min(CHAINS, 512) if CHAINS % 128 == 0 else 128
+    # cb caps at 512 (the n=2048 VMEM budget), larger CHAINS add grid
+    # steps — cb must DIVIDE the chain count (kernel grid contract)
+    cb = 128
+    if CHAINS % 128 == 0:
+        cb = max(d for d in (512, 384, 256, 128) if CHAINS % d == 0)
     cfg = AnnealConfig(
         chains=CHAINS, chain_block=cb,
         kernel=os.environ.get("BENCH_KERNEL", "auto"),

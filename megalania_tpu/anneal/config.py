@@ -48,6 +48,15 @@ class AnnealConfig:
     # "packet" picks uniformly over live packets, the reference's rule
     # (packet_slab_neighbour.c:162-163), using the previous pass's count
     site_mode: str = "byte"
+    # mutation-site schedule: "sweep" samples the recording site from a
+    # low-to-high tile-stratified sweep SHARED by all chains, enabling
+    # partial re-cost (each pass restarts from a coder-state snapshot at
+    # the last tile boundary before the previous site — SURVEY §7's
+    # mitigation for the reference's O(n)-per-move full re-encode,
+    # packet_slab_neighbour.c:154-173; ~2x fewer positions walked);
+    # "random" is the independent per-chain uniform site draw (always a
+    # full walk from 0).  site_mode="packet" forces "random".
+    site_schedule: str = "sweep"
     # repair fallback for an un-re-aimable long rep: "litsrep" (ours) or
     # "match" (reference-flavoured: best table match at the site,
     # approximating the reference's in-repair top-K resample,
@@ -71,12 +80,15 @@ class AnnealConfig:
             raise ValueError("proposals must be >= 1")
         if self.chain_block % 8 != 0:
             raise ValueError("chain_block must be a sublane multiple (8)")
-        if self.kernel not in ("auto", "xla", "pallas", "pallas2"):
+        if self.kernel not in ("auto", "xla", "pallas2"):
             raise ValueError(f"unknown kernel {self.kernel!r}")
         if self.ranker not in ("auto", "kernel", "xla"):
             raise ValueError(f"unknown ranker {self.ranker!r}")
         if self.site_mode not in ("byte", "packet"):
             raise ValueError(f"unknown site_mode {self.site_mode!r}")
+        if self.site_schedule not in ("sweep", "random"):
+            raise ValueError(
+                f"unknown site_schedule {self.site_schedule!r}")
         if self.lrep_fallback not in ("litsrep", "match"):
             raise ValueError(
                 f"unknown lrep_fallback {self.lrep_fallback!r}")

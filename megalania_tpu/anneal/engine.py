@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..match import candidates as C_
 from ..match.suffix import build_lce
 from ..models import packets as P
-from ..ops import (pallas_rank, pallas_repair, pallas_repair2, problayout,
+from ..ops import (pallas_rank, pallas_repair2, problayout,
                    repair_scan, tables as T)
 from ..utils import fixedpoint as fp
 from . import moves
@@ -46,10 +46,9 @@ class BlockContext(NamedTuple):
 
 
 def resolve_kernel(cfg: AnnealConfig) -> str:
-    """Pick the fused-pass kernel: 'pallas2' (class-decomposed, fastest)
-    on a real TPU backend when the chain count allows a 128-lane block,
-    'xla' elsewhere — unless forced by cfg.kernel.  ('pallas' v1 remains
-    selectable explicitly but is strictly slower than v2.)"""
+    """Pick the fused-pass kernel: 'pallas2' (class-decomposed) on a real
+    TPU backend when the chain count allows a 128-lane block, 'xla'
+    elsewhere — unless forced by cfg.kernel."""
     if cfg.kernel != "auto":
         return cfg.kernel
     if jax.default_backend() != "tpu":
@@ -80,26 +79,38 @@ def _effective_kernel(cfg: AnnealConfig, rows: int) -> str:
     the LOCAL chain count can be smaller than cfg.chains, so the lane
     check uses the actual operand row count."""
     kernel = resolve_kernel(cfg)
-    if (kernel.startswith("pallas") and jax.default_backend() == "tpu"
+    if (kernel == "pallas2" and jax.default_backend() == "tpu"
             and rows % 128 != 0):
         kernel = "xla"
-    if kernel == "pallas" and (cfg.site_mode != "byte"
-                               or cfg.lrep_fallback != "litsrep"):
-        kernel = "xla"       # v1 kernel predates these semantics flags
     return kernel
 
 
+def effective_schedule(cfg: AnnealConfig) -> str:
+    """Site schedule actually used: packet-ordinal sites have no byte
+    position to sweep, so they force the "random" full-walk schedule."""
+    return "random" if cfg.site_mode == "packet" else cfg.site_schedule
+
+
 def _repair_cost(state_slabs, q, u, ctx: BlockContext, cfg: AnnealConfig,
-                 mut0=None, mut1=None):
+                 mut0=None, mut1=None, start_pos=None, cap_pos=None,
+                 probs_in=None, carry_in=None):
     """Dispatch the fused repair+cost pass to the configured kernel.
 
     mut0/mut1: optional per-row mutated cell values for sites q/q+1.
     The v2 kernel substitutes them in-stream while walking the slab (an
     XLA scatter over [C, n] per pass was a measurable slice of
-    iteration time); on other kernels the caller must pre-apply them."""
+    iteration time); on other kernels the caller must pre-apply them.
+
+    start_pos/cap_pos (tile-aligned scalars) + probs_in (class-packed)
+    / carry_in: partial re-cost — the pass starts from the snapshot at
+    start_pos and captures a new snapshot entering cap_pos (None =
+    capture the final state).  Both kernels implement identical
+    semantics, bit for bit (tests/test_pallas_repair.py)."""
     kernel = _effective_kernel(cfg, state_slabs.shape[0])
     assert mut0 is None or kernel == "pallas2"
+    n = ctx.data.shape[0]
     if kernel == "pallas2":
+        tile = pallas_repair2.choose_tile(n)
         return pallas_repair2.repair_cost_pallas2(
             state_slabs, q, u, ctx.data, ctx.data_packed, ctx.cand_dist,
             ctx.cand_len, ctx.corr, cb=cfg.chain_block,
@@ -107,39 +118,40 @@ def _repair_cost(state_slabs, q, u, ctx: BlockContext, cfg: AnnealConfig,
             site_mode=cfg.site_mode,
             lrep_fallback=cfg.lrep_fallback,
             mut0=mut0, mut1=mut1,
+            start_tile=None if start_pos is None else start_pos // tile,
+            cap_tile=None if cap_pos is None else cap_pos // tile,
+            probs_in=probs_in, carry_in=carry_in,
         )
-    if kernel == "pallas":
-        out = pallas_repair.repair_cost_pallas(
-            state_slabs, q, u, ctx.data, ctx.data_packed, ctx.cand_dist,
-            ctx.cand_len, ctx.corr, cb=cfg.chain_block,
-            interpret=jax.default_backend() != "tpu",
-        )
-        # live count from the output live bits (v1 has no ordinal carry)
-        count = jnp.sum(((out[0] >> P.LIVE_SHIFT) & 1).astype(jnp.int32),
-                        axis=1)
-        out = out + (count,)
-    else:
-        out = repair_scan.repair_cost_batched(
-            state_slabs, q, u, ctx.data, ctx.cand_dist, ctx.cand_len,
-            ctx.log2, site_mode=cfg.site_mode,
-            lrep_fallback=cfg.lrep_fallback,
-        )
+    out = repair_scan.repair_cost_batched(
+        state_slabs, q, u, ctx.data, ctx.cand_dist, ctx.cand_len,
+        ctx.log2, site_mode=cfg.site_mode,
+        lrep_fallback=cfg.lrep_fallback,
+        start_pos=start_pos, cap_pos=cap_pos,
+        probs_in=(None if probs_in is None
+                  else problayout.flat_from_packed(probs_in)),
+        carry_in=carry_in,
+    )
     # canonical rank_probs layout is the class-packed one (problayout)
-    slabs, hi, lo, flat, rctx, rdists, rlive, count = out
+    slabs, hi, lo, flat, rctx, rdists, rlive, count, snapc = out
     return (slabs, hi, lo, problayout.packed_from_flat(flat), rctx, rdists,
-            rlive, count)
+            rlive, count, snapc)
 
 
 class ChainState(NamedTuple):
     slab: jnp.ndarray        # uint32[C, n]
     cost_hi: jnp.ndarray     # int32[C]
     cost_lo: jnp.ndarray     # int32[C]
-    rank_probs: jnp.ndarray  # int32[C, PACKED_ROWS] (class-packed layout)
+    rank_probs: jnp.ndarray  # int32[C, PACKED_ROWS] (class-packed): the
+    #   snapshot probabilities from the last pass — under the sweep
+    #   schedule the state at the snapshot position (causally exact for
+    #   the current slab prefix), under "random" the final probs
     rec_ctx: jnp.ndarray     # int32[C]
     rec_dists: jnp.ndarray   # int32[C, 4]
     rec_live: jnp.ndarray    # int32[C]
     live_count: jnp.ndarray  # int32[C] live packets after the last pass
     key: jnp.ndarray         # PRNG keys [C]
+    snap_carry: jnp.ndarray  # int32[C, 16] scalar-carry snapshot
+    #   (repair_scan.CARRY16 layout), companion to rank_probs
 
 
 class AnnealState(NamedTuple):
@@ -150,6 +162,11 @@ class AnnealState(NamedTuple):
     it_in_epoch: jnp.ndarray  # int32 scalar (shared cooling clock)
     epochs_done: jnp.ndarray  # int32 scalar
     moves_done: jnp.ndarray  # int32 scalar (accepted+rejected, all chains)
+    # sweep-schedule scalars (shared by all chains of the block)
+    sweep_j: jnp.ndarray     # int32: stratum index; 0 = fresh full walk
+    snap_pos: jnp.ndarray    # int32: position of the held snapshot
+    u_prev: jnp.ndarray      # int32: last shared recording site
+    skey: jnp.ndarray        # PRNG key for shared (per-block) draws
 
 
 def make_context(data: bytes, cfg: AnnealConfig) -> BlockContext:
@@ -157,7 +174,7 @@ def make_context(data: bytes, cfg: AnnealConfig) -> BlockContext:
     arr = np.frombuffer(bytes(data), np.uint8)
     idx = build_lce(arr)
     tab = C_.build_candidates(arr, cfg.max_candidates, cfg.max_walk, idx)
-    corr = pallas_repair.log2_correction(
+    corr = pallas_repair2.log2_correction(
         interpret=jax.default_backend() != "tpu")
     return BlockContext(
         data=jnp.asarray(arr.astype(np.int32)),
@@ -167,7 +184,7 @@ def make_context(data: bytes, cfg: AnnealConfig) -> BlockContext:
         cand_len=jnp.asarray(tab.length),
         cand_count=jnp.asarray(tab.count),
         log2=jnp.asarray(T.LOG2_TABLE_I32),
-        data_packed=jnp.asarray(pallas_repair.pack_data_words(arr)),
+        data_packed=jnp.asarray(pallas_repair2.pack_data_words(arr)),
         corr=jnp.asarray(corr),
         f2p=jnp.asarray(problayout.F2P_PAD),
     )
@@ -178,17 +195,18 @@ def init_state(ctx: BlockContext, cfg: AnnealConfig) -> AnnealState:
     n = ctx.data.shape[0]
     C = cfg.chains
     slab0 = jnp.broadcast_to(jnp.asarray(P.literal_slab(n)), (C, n))
-    keys = jax.random.split(jax.random.PRNGKey(cfg.seed), C)
+    all_keys = jax.random.split(jax.random.PRNGKey(cfg.seed), C + 1)
+    keys, skey = all_keys[:C], all_keys[C]
     ks = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
     keys_out, k_u = ks[:, 0], ks[:, 1]
     u = jax.vmap(lambda k: jax.random.randint(k, (), 0, n))(k_u)
-    slabs, hi, lo, probs, rctx, rdists, rlive, count = _repair_cost(
+    slabs, hi, lo, probs, rctx, rdists, rlive, count, snapc = _repair_cost(
         slab0, jnp.full(C, n, jnp.int32), u, ctx, cfg
     )
     chains = ChainState(
         slab=slabs, cost_hi=hi, cost_lo=lo, rank_probs=probs,
         rec_ctx=rctx, rec_dists=rdists, rec_live=rlive, live_count=count,
-        key=keys_out,
+        key=keys_out, snap_carry=snapc,
     )
     return AnnealState(
         chains=chains,
@@ -198,6 +216,10 @@ def init_state(ctx: BlockContext, cfg: AnnealConfig) -> AnnealState:
         it_in_epoch=jnp.int32(0),
         epochs_done=jnp.int32(0),
         moves_done=jnp.int32(0),
+        sweep_j=jnp.int32(0),        # first iteration = fresh full walk
+        snap_pos=jnp.int32(0),
+        u_prev=jnp.int32(0),
+        skey=skey,
     )
 
 
@@ -232,8 +254,8 @@ def _propose(slabs, q, rec_ctx, rec_dists, rank_probs, keys,
                        cands.valid.astype(jnp.int32))
         mb = ctx.data[jnp.clip(qc - rec_dists[:, 0] - 1, 0, n - 1)]
         metric = pallas_rank.rank_pallas(
-            rank_probs, candp, rec_ctx, rec_dists, qc,
-            ctx.data[qc], mb, ctx.log2, ctx.f2p, ctx.corr, n,
+            rank_probs, candp, rec_ctx, rec_dists,
+            ctx.data[qc], mb, ctx.log2, ctx.f2p, ctx.corr,
             cb=cfg.chain_block,
             interpret=jax.default_backend() != "tpu")
         if fused_mut:
@@ -257,25 +279,63 @@ def _propose(slabs, q, rec_ctx, rec_dists, rank_probs, keys,
     return slab2, None, None     # scatter-applied; no kernel substitution
 
 
-def _chains_iter(chains: ChainState, ctx: BlockContext, i_cool, step,
-                 cfg: AnnealConfig) -> ChainState:
+def _chains_iter(state: AnnealState, ctx: BlockContext, step,
+                 cfg: AnnealConfig):
     """One lockstep move for all C chains (chain-batched, single scan).
 
     With cfg.proposals = P > 1, each chain evaluates P independent
     proposals in the same fused pass (they ride the chain/lane axis —
     SURVEY §2's proposal parallelism; the reference costs exactly one,
     main.c:78-102) and keeps the exact-best of the P before the
-    acceptance rule.  Each costed proposal is one reference move."""
+    acceptance rule.  Each costed proposal is one reference move.
+
+    Under the sweep schedule the pass is a PARTIAL re-cost: it starts
+    from the snapshot captured by the previous pass (always at/below
+    every chain's mutation site, so the cost stays exact) and records /
+    captures at a shared, tile-stratified low-to-high site.
+
+    Returns (ChainState, skey_next, u_shared, cap_pos)."""
+    chains = state.chains
     n = ctx.data.shape[0]
     Cn = chains.slab.shape[0]
     Pn = cfg.proposals
+    sched = effective_schedule(cfg)
     ks = jax.vmap(lambda k: jax.random.split(k, 4))(chains.key)
     key_next, k_prop, k_u, k_acc = ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3]
+    sk = jax.random.split(state.skey, 2)
+    skey_next, k_su = sk[0], sk[1]
 
+    if sched == "sweep":
+        tile = pallas_repair2.choose_tile(n)
+        j = state.sweep_j
+        fresh_sweep = j == 0
+        # start at the held snapshot; capture entering the tile of the
+        # previous site (<= every chain's q this pass, so the capture is
+        # valid for accepted AND rejected slabs)
+        start_pos = jnp.where(fresh_sweep, 0, state.snap_pos)
+        cap_pos = jnp.where(fresh_sweep, jnp.int32(0),
+                            (state.u_prev // tile) * tile)
+        cap_pos = jnp.maximum(cap_pos, start_pos)
+        stratum = jnp.minimum(j * tile, n - 1)
+        width = jnp.maximum(jnp.minimum(tile, n - stratum), 1)
+        u_shared = stratum + jax.random.randint(k_su, (), 0, width)
+        probs_c = jnp.where(fresh_sweep, jnp.int32(T.PROB_INIT),
+                            chains.rank_probs)
+        carry_c = jnp.where(fresh_sweep, jnp.int32(0), chains.snap_carry)
+        q_floor = start_pos
+    else:
+        start_pos = cap_pos = None       # full walk, capture final state
+        u_shared = jnp.int32(0)
+        probs_c = carry_c = None
+        carry16 = jnp.zeros((Cn, 16), jnp.int32)
+        q_floor = jnp.int32(0)
+
+    base_carry = carry_c if carry_c is not None else carry16
     fresh = chains.rec_live >= n         # recorded site ran off the end
-    q = jnp.where(fresh, 0, chains.rec_live)
-    rec_ctx = jnp.where(fresh, 0, chains.rec_ctx)
-    rec_dists = jnp.where(fresh[:, None], 0, chains.rec_dists)
+    q = jnp.where(fresh, q_floor, chains.rec_live)
+    rec_ctx = jnp.where(fresh, base_carry[:, 0], chains.rec_ctx)
+    rec_dists = jnp.where(fresh[:, None], base_carry[:, 1:5],
+                          chains.rec_dists)
 
     if Pn > 1:
         def rep(x):
@@ -287,21 +347,29 @@ def _chains_iter(chains: ChainState, ctx: BlockContext, i_cool, step,
         slab_in, q_in, rctx_in, rdists_in, probs_in, lc_in = (
             rep(chains.slab), rep(q), rep(rec_ctx), rep(rec_dists),
             rep(chains.rank_probs), rep(chains.live_count))
+        probs_snap = None if probs_c is None else rep(probs_c)
+        carry_snap = None if carry_c is None else rep(carry_c)
     else:
         slab_in, q_in, rctx_in, rdists_in, probs_in, lc_in = (
             chains.slab, q, rec_ctx, rec_dists, chains.rank_probs,
             chains.live_count)
+        probs_snap, carry_snap = probs_c, carry_c
 
     slab_prop, mut0, mut1 = _propose(slab_in, q_in, rctx_in, rdists_in,
                                      probs_in, k_prop, ctx, cfg)
-    if cfg.site_mode == "packet":
+    if sched == "sweep":
+        u = jnp.full(slab_in.shape[:1], u_shared, jnp.int32)
+    elif cfg.site_mode == "packet":
         hi_u = jnp.maximum(lc_in, 1)
         u = jax.vmap(lambda k, h: jax.random.randint(k, (), 0, h))(
             k_u, hi_u)
     else:
         u = jax.vmap(lambda k: jax.random.randint(k, (), 0, n))(k_u)
-    new_slab, hi, lo, probs, rctx, rdists, rlive, count = _repair_cost(
-        slab_prop, q_in, u, ctx, cfg, mut0=mut0, mut1=mut1
+    (new_slab, hi, lo, probs, rctx, rdists, rlive, count,
+     snapc) = _repair_cost(
+        slab_prop, q_in, u, ctx, cfg, mut0=mut0, mut1=mut1,
+        start_pos=start_pos, cap_pos=cap_pos,
+        probs_in=probs_snap, carry_in=carry_snap,
     )
 
     if Pn > 1:
@@ -314,13 +382,13 @@ def _chains_iter(chains: ChainState, ctx: BlockContext, i_cool, step,
 
         def sel(x):
             return x.reshape(Cn, Pn, *x.shape[1:])[jnp.arange(Cn), w]
-        new_slab, hi, lo, probs, rctx, rdists, rlive, count = (
+        new_slab, hi, lo, probs, rctx, rdists, rlive, count, snapc = (
             sel(new_slab), sel(hi), sel(lo), sel(probs), sel(rctx),
-            sel(rdists), sel(rlive), sel(count))
+            sel(rdists), sel(rlive), sel(count), sel(snapc))
 
     # acceptance: first / better / cooled transition (main.c:86)
     iters = jnp.float32(cfg.iters(n))
-    i_f = jnp.float32(i_cool)
+    i_f = jnp.float32(state.it_in_epoch)
     p_trans = jnp.sqrt(iters) / (
         i_f * i_f + 1.0 + jnp.float32(step) * iters * 0.5
     )
@@ -332,11 +400,13 @@ def _chains_iter(chains: ChainState, ctx: BlockContext, i_cool, step,
     slab_cur = jnp.where(accept[:, None], new_slab, chains.slab)
     cost_hi = jnp.where(accept, hi, chains.cost_hi)
     cost_lo = jnp.where(accept, lo, chains.cost_lo)
-    return ChainState(
+    new_chains = ChainState(
         slab=slab_cur, cost_hi=cost_hi, cost_lo=cost_lo, rank_probs=probs,
         rec_ctx=rctx, rec_dists=rdists, rec_live=rlive, live_count=count,
-        key=key_next,
+        key=key_next, snap_carry=snapc,
     )
+    cap_out = cap_pos if cap_pos is not None else jnp.int32(0)
+    return new_chains, skey_next, u_shared, cap_out
 
 
 def anneal_iteration(state: AnnealState, ctx: BlockContext,
@@ -344,13 +414,15 @@ def anneal_iteration(state: AnnealState, ctx: BlockContext,
     """One lockstep move across all chains + best/restart bookkeeping."""
     n = ctx.data.shape[0]
     iters = cfg.iters(n)
+    sched = effective_schedule(cfg)
     epochs_per_step = max(
         1, -(-cfg.num_epochs // cfg.chains)
     )  # serial epochs folded onto the chain axis
     step = jnp.minimum(state.epochs_done // epochs_per_step,
                        cfg.num_steps - 1)
 
-    chains = _chains_iter(state.chains, ctx, state.it_in_epoch, step, cfg)
+    chains, skey_next, u_shared, cap_pos = _chains_iter(state, ctx, step,
+                                                        cfg)
 
     # global best (reference keeps one best slab, main.c:89-92)
     b = fp.argmin(chains.cost_hi, chains.cost_lo)
@@ -381,6 +453,16 @@ def anneal_iteration(state: AnnealState, ctx: BlockContext,
         rec_live=jnp.where(restart, jnp.zeros(Cn, jnp.int32),
                            chains.rec_live),
     )
+    # sweep bookkeeping: advance the stratum; a wrap or an epoch restart
+    # resets to the fresh full-walk stratum 0 (the reseeded slab
+    # invalidates the snapshot)
+    if sched == "sweep":
+        tile = pallas_repair2.choose_tile(n)
+        n_tiles = -(-n // tile)
+        j_next = state.sweep_j + 1
+        j_next = jnp.where((j_next >= n_tiles) | restart, 0, j_next)
+    else:
+        j_next = jnp.int32(0)
     return AnnealState(
         chains=chains,
         best_slab=best_slab,
@@ -389,6 +471,10 @@ def anneal_iteration(state: AnnealState, ctx: BlockContext,
         it_in_epoch=jnp.where(restart, 0, it),
         epochs_done=state.epochs_done + jnp.where(restart, 1, 0),
         moves_done=state.moves_done + Cn * cfg.proposals,
+        sweep_j=j_next,
+        snap_pos=cap_pos,
+        u_prev=u_shared,
+        skey=skey_next,
     )
 
 

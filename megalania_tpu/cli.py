@@ -63,6 +63,11 @@ def main(argv=None):
                    choices=["byte", "packet"],
                    help="mutation-site distribution (packet = the "
                    "reference's uniform-over-live-packets rule)")
+    c.add_argument("--site-schedule", default="sweep",
+                   choices=["sweep", "random"],
+                   help="mutation-site schedule (sweep enables snapshot "
+                   "partial re-cost; random = per-chain uniform sites, "
+                   "always a full walk)")
     c.add_argument("--lrep-fallback", default="litsrep",
                    choices=["litsrep", "match"],
                    help="repair fallback for unrepairable long reps")
@@ -99,6 +104,7 @@ def main(argv=None):
             top_k=args.top_k, seed=args.seed, kernel=args.kernel,
             ranker=args.ranker, proposals=args.proposals,
             site_mode=args.site_mode, lrep_fallback=args.lrep_fallback,
+            site_schedule=args.site_schedule,
         )
         progress = None if args.quiet else _progress_printer(time.time())
         metrics = None

@@ -78,6 +78,8 @@ def compress_block(
         state = engine.init_state(ctx, cfg)
         done = 0
     segs = 0
+    seg_t = time.time()
+    seg_moves = 0
     while done < iters:
         seg = min(segment_iters, iters - done)
         state = engine.run_iters(state, ctx, cfg, seg)
@@ -86,11 +88,16 @@ def compress_block(
         if checkpoint_path and (segs % checkpoint_every == 0
                                 or done >= iters):
             ckpt_mod.save(checkpoint_path, state)
+        now = time.time()
+        moves_now = int(state.moves_done)
+        mps = (moves_now - seg_moves) / max(now - seg_t, 1e-9)
+        seg_t, seg_moves = now, moves_now
         info = {
             "block": block_id,
             "iter": done,
             "iters": iters,
-            "moves": int(state.moves_done),
+            "moves": moves_now,
+            "moves_per_sec": round(mps, 1),   # per chip (north-star metric)
             "best_bytes": round(engine.best_cost_bytes(state), 2),
             "epochs": int(state.epochs_done),
         }
@@ -153,6 +160,8 @@ def _compress_blocks_mesh(
 
     step_fns = {}
     segs = 0
+    seg_t = time.time()
+    seg_moves = 0
     while done < iters:
         seg = min(segment_iters, iters - done)
         if seg not in step_fns:
@@ -165,11 +174,16 @@ def _compress_blocks_mesh(
             ckpt_mod.save(checkpoint_path, states)
         his = np.asarray(states.best_hi)
         los = np.asarray(states.best_lo)
+        now = time.time()
+        moves_now = int(np.asarray(states.moves_done).sum())
+        mps = (moves_now - seg_moves) / max(now - seg_t, 1e-9)
+        seg_t, seg_moves = now, moves_now
         info = {
             "mesh_blocks": B,
             "iter": done,
             "iters": iters,
-            "moves": int(np.asarray(states.moves_done).sum()),
+            "moves": moves_now,
+            "moves_per_sec": round(mps, 1),
             "best_bytes": round(sum(
                 18 + fp.to_int(h, l) / 16384.0 for h, l in zip(his, los)
             ), 2),

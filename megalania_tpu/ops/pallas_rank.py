@@ -7,7 +7,7 @@ gather/lookup HLOs dominate).  This kernel performs the identical
 integer costing against the class-decomposed probability layout
 (ops/problayout.py) entirely in VMEM: per slot it reads only its class'
 few sublane rows, and the LOG2 cost is the f32 exponent trick + packed
-correction word, bit-identical to the table (ops/pallas_repair.py).
+correction word, bit-identical to the table (ops/pallas_repair2.py).
 
 Semantics: exact mirror of ops/bitplan.make_bit_plan + plan_cost —
 read-only costing under the chain's recorded site state (rec_ctx,
@@ -31,17 +31,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import tables as T
 from . import problayout as PL
-from .pallas_repair import _f32_log2_cost
-from .pallas_repair2 import (_shared_lookup, _shared_lookup_wide,
-                             _cls_gather, _bit_length, rt_offset_table)
+from .pallas_repair2 import (_f32_log2_cost, _shared_lookup,
+                             _shared_lookup_wide, _cls_gather, _bit_length,
+                             rt_offset_table)
 from ..models import packets as P
 
 PROB_ONE = T.PROB_ONE
 PACKED_ROWS = PL.PACKED_ROWS
 BIG = 2 ** 30
 
-# st_ref row layout
-ST_CTX, ST_D0, ST_D1, ST_D2, ST_D3, ST_Q, ST_BYTE = range(7)
+# st_ref row layout (rows 5-7 are sublane-alignment padding)
+ST_CTX, ST_D0, ST_D1, ST_D2, ST_D3 = range(5)
 ST_ROWS = 8
 
 
@@ -65,7 +65,7 @@ def _exact_div(a, b):
 
 
 def _kernel(probs_ref, cand_ref, st_ref, corrw_ref, rtoff_ref,
-            out_ref, *, n, NC, CB):
+            out_ref, *, NC, CB):
     corrw = corrw_ref[:]
     rtoff = rtoff_ref[:]
     s_ref = probs_ref
@@ -182,9 +182,9 @@ def _lit_metric(probsC, rec_ctx, rec_dists, byte, match_byte, log2, f2p):
     return jax.vmap(one)(probsC, rec_ctx, rec_dists, byte, match_byte)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "cb", "interpret"))
-def rank_pallas(probsC, candp, rec_ctx, rec_dists, q, byte, match_byte,
-                log2, f2p, corr, n: int, cb: int = 128,
+@functools.partial(jax.jit, static_argnames=("cb", "interpret"))
+def rank_pallas(probsC, candp, rec_ctx, rec_dists, byte, match_byte,
+                log2, f2p, corr, cb: int = 128,
                 interpret: bool = False):
     """probsC: [C, PACKED_ROWS] packed class probs (chain-major);
     candp: [C, NC] packed candidate entries (live bit = valid);
@@ -205,14 +205,12 @@ def rank_pallas(probsC, candp, rec_ctx, rec_dists, q, byte, match_byte,
     st = st.at[ST_D1].set(rec_dists[:, 1])
     st = st.at[ST_D2].set(rec_dists[:, 2])
     st = st.at[ST_D3].set(rec_dists[:, 3])
-    st = st.at[ST_Q].set(q)
-    st = st.at[ST_BYTE].set(byte)
 
     candT = jnp.pad(jnp.transpose(candp), ((0, NCp - NC), (0, 0)))
     probsT = jnp.transpose(probsC)          # [PACKED_ROWS, C]
     rtoff = jnp.asarray(rt_offset_table())
 
-    kern = functools.partial(_kernel, n=n, NC=NCp, CB=cb)
+    kern = functools.partial(_kernel, NC=NCp, CB=cb)
     out = pl.pallas_call(
         kern,
         grid=(C // cb,),

@@ -1,13 +1,11 @@
-"""Fused repair+cost pass, v2: class-decomposed probability model.
+"""Fused repair+cost pass: class-decomposed probability model.
 
-Same contract and bit-exact semantics as ops/pallas_repair.py (v1) and
-ops/repair_scan.py (the golden lax.scan implementation); the difference
-is the realization of the per-bit gather/adapt/scatter, which dominated
-v1's runtime:
-
-  v1: probs as one [CB, 1920] vector per chain; every one of the ~26 bit
-      slots per position pays a compare+select+reduce over ALL 1920
-      lanes (~15 vreg columns) — >95% of the kernel's vector work.
+Same contract and bit-exact semantics as ops/repair_scan.py (the golden
+lax.scan implementation); the difference is the realization of the
+per-bit gather/adapt/scatter.  A retired v1 kernel kept the probs as one
+[CB, 1920] vector per chain, so every one of the ~26 bit slots per
+position paid a compare+select+reduce over ALL 1920 lanes — >95% of its
+kernel time.  Here instead:
 
   v2: per-chain values ride [1, CB] (chains on lanes); the probability
       model is split into small per-slot classes stored [rows, CB]
@@ -39,13 +37,73 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import tables as T
 from . import problayout as PL
-from .pallas_repair import _f32_log2_cost, log2_correction, pack_data_words
 from ..models import packets as P
 
 PROB_ONE = T.PROB_ONE
+INV_PROB_ONE = 1.0 / PROB_ONE
 ROW = PL.ROW
 ROWS = PL.ROWS
 PACKED_ROWS = PL.PACKED_ROWS
+
+
+# ---------------------------------------------------------------------------
+# Exact log2: float32 + packed correction (shared with ops/pallas_rank.py)
+# ---------------------------------------------------------------------------
+
+def _f32_log2_cost(pc):
+    """trunc(-log2(pc/2048)*2048) in float32 — the kernel's raw estimate."""
+    x = pc.astype(jnp.float32) * jnp.float32(INV_PROB_ONE)
+    return jnp.trunc(-jnp.log2(x) * jnp.float32(PROB_ONE)).astype(jnp.int32)
+
+
+def _log2_probe_kernel(out_ref):
+    i = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0) * 128 + \
+        jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
+    out_ref[:] = _f32_log2_cost(jnp.maximum(i, 1))
+
+
+@functools.cache
+def log2_correction(interpret: bool = False) -> np.ndarray:
+    """int32[1, 128] bit-packed correction: exact = f32 + corr, corr in
+    {-1, 0, +1} stored as 2-bit (value+1) at bit offset (p & 15) * 2.
+
+    Built by running the same float32 sequence the kernel executes on the
+    same backend, so the sum is exact by construction.
+    """
+    raw = pl.pallas_call(
+        _log2_probe_kernel,
+        out_shape=jax.ShapeDtypeStruct((16, 128), jnp.int32),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )()
+    approx = np.asarray(raw).reshape(-1).astype(np.int64)
+    exact = T.LOG2_TABLE_NP.copy()
+    exact[0] = exact[1]                     # probe clamps index 0 to 1
+    diff = exact - approx
+    if diff.min() < -1 or diff.max() > 1:
+        raise RuntimeError(
+            "device float32 log2 deviates by >1 from the exact table "
+            f"(min {diff.min()}, max {diff.max()}); widen the correction"
+        )
+    enc = (diff + 1).astype(np.uint64)      # 2-bit codes
+    packed = np.zeros(128, np.uint64)
+    for j in range(16):
+        packed |= enc[j::16] << np.uint64(2 * j)
+    return packed.astype(np.int64).astype(np.int32).reshape(1, 128)
+
+
+def pack_data_words(data: np.ndarray) -> np.ndarray:
+    """int32[1, ceil(n/4) padded to 128] little-endian packed bytes."""
+    n = len(data)
+    n4 = -(-max(n, 1) // 4)
+    n4p = -(-n4 // 128) * 128
+    buf = np.zeros(n4p * 4, np.uint8)
+    buf[:n] = data
+    words = (buf[0::4].astype(np.uint32)
+             | (buf[1::4].astype(np.uint32) << 8)
+             | (buf[2::4].astype(np.uint32) << 16)
+             | (buf[3::4].astype(np.uint32) << 24))
+    return words.astype(np.int64).astype(np.int32).reshape(1, n4p)
 
 
 def rt_offset_table() -> np.ndarray:
@@ -153,17 +211,27 @@ def _bit_length(d):
 # The kernel
 # ---------------------------------------------------------------------------
 
-def _kernel(slabT_ref, qu_ref, data_ref, dpk_ref, cand_d_ref, cand_l_ref,
-            corrw_ref, rtoff_ref, out_slabT_ref, probsC_ref, misc_ref,
-            s_ref, carry_ref, *, n, R, M, CB, TILE, SITE, FB):
+def _kernel(slabT_ref, qu_ref, sc_ref, data_ref, dpk_ref, cand_d_ref,
+            cand_l_ref, corrw_ref, rtoff_ref, probs_in_ref, carry_in_ref,
+            out_slabT_ref, snapP_ref, misc_ref,
+            s_ref, carry_ref, *, n, R, M, CB, TILE, BK, SITE, FB):
     """Grid = (chain_block, position_tile).  The probability state
     (s_ref) and the 16-row scan carry (carry_ref) persist in VMEM
     scratch across the position tiles of one chain block; tiled inputs
     (slab, candidate tables, data) are auto-pipelined HBM->VMEM by the
     grid, so blocks far larger than VMEM stream through (the 64 KiB
-    design point, config.block_size)."""
+    design point, config.block_size).
+
+    Partial re-cost: tiles below sc_ref[0,0] (the start tile) copy the
+    slab through untouched; the walk initializes its coder state at the
+    start tile from probs_in/carry_in (a snapshot captured by an earlier
+    pass).  At the start of tile sc_ref[0,1] the full coder state is
+    captured into snapP/misc[16:32]; cap == n_tiles captures the final
+    state instead (the historical "final probs" contract)."""
     pt = pl.program_id(1)
     n_tiles = pl.num_programs(1)
+    start_tile = sc_ref[0, 0]
+    cap_tile = sc_ref[0, 1]          # contract: cap_tile >= start_tile
     q = qu_ref[0:1, :]                                        # [1, CB]
     u = qu_ref[1:2, :]
     mpos = qu_ref[2:3, :]      # mutation site (-2: no substitution)
@@ -173,10 +241,24 @@ def _kernel(slabT_ref, qu_ref, data_ref, dpk_ref, cand_d_ref, cand_l_ref,
     rtoff = rtoff_ref[:]                                      # [1, 128]
     dpk = dpk_ref[:]                                          # [R, 128]
 
-    @pl.when(pt == 0)
+    @pl.when(pt == start_tile)
     def _():
-        s_ref[:] = jnp.full((PACKED_ROWS, CB), T.PROB_INIT, jnp.int32)
-        carry_ref[:] = jnp.zeros((16, CB), jnp.int32)
+        s_ref[:] = probs_in_ref[:]
+        carry_ref[:] = carry_in_ref[:]
+
+    @pl.when(pt == cap_tile)
+    def _():
+        # state *entering* this tile's first position (post-init above
+        # when cap == start, i.e. the snapshot itself).  Row 8 (`since`)
+        # is pass-relative and stored as 0 — the value any later pass,
+        # whose q is >= the capture point by contract, would have here.
+        snapP_ref[:] = s_ref[:]
+        misc_ref[16:32, :] = carry_ref[:]
+        misc_ref[24:25, :] = jnp.zeros((1, CB), jnp.int32)
+
+    @pl.when(pt < start_tile)
+    def _():
+        out_slabT_ref[:] = slabT_ref[:]
 
     carry0 = tuple(carry_ref[j:j + 1, :] for j in range(16))
 
@@ -186,11 +268,15 @@ def _kernel(slabT_ref, qu_ref, data_ref, dpk_ref, cand_d_ref, cand_l_ref,
         i = pt * TILE + ii                                     # global pos
 
         entry = slabT_ref[pl.ds(ii, 1), :].astype(jnp.uint32)  # [1, CB]
-        # in-stream mutation substitution (engine fused path; mpos=-1
-        # when the caller pre-applied the mutation to the slab)
+        # in-stream mutation substitution (engine fused path; mpos=-2
+        # when the caller pre-applied the mutation to the slab — NOT -1,
+        # which would alias mpos+1 onto position 0)
         entry = jnp.where(mpos == i, m0,
                           jnp.where(mpos + 1 == i, m1, entry))
-        byte = data_ref[0, ii]                                # scalar
+        # data block is BK >= TILE wide (1-D SMEM needs 1024-element
+        # alignment); off0 locates this tile inside its block
+        off0 = (pt * TILE) % BK
+        byte = data_ref[off0 + ii]                            # scalar
         cdT = jnp.transpose(cand_d_ref[pl.ds(ii, 1), :])      # [M, 1]
         clT = jnp.transpose(cand_l_ref[pl.ds(ii, 1), :])
 
@@ -414,28 +500,47 @@ def _kernel(slabT_ref, qu_ref, data_ref, dpk_ref, cand_d_ref, cand_l_ref,
         return (ctx, d0, d1, d2, d3, live, hi, lo, since,
                 rctx, rd0, rd1, rd2, rd3, rlive, pord)
 
-    final = jax.lax.fori_loop(0, TILE, body, carry0)
-    for j, v in enumerate(final):
-        carry_ref[j:j + 1, :] = v
-
-    @pl.when(pt == n_tiles - 1)
+    @pl.when(pt >= start_tile)
     def _():
-        (ctx, d0, d1, d2, d3, live, hi, lo, since,
-         rctx, rd0, rd1, rd2, rd3, rlive, pord) = final
-        probsC_ref[:] = s_ref[:]
-        misc_ref[0:1, :] = hi
-        misc_ref[1:2, :] = lo
-        misc_ref[2:3, :] = rctx
-        misc_ref[3:4, :] = rlive
-        misc_ref[4:5, :] = rd0
-        misc_ref[5:6, :] = rd1
-        misc_ref[6:7, :] = rd2
-        misc_ref[7:8, :] = rd3
-        misc_ref[8:9, :] = pord
-        misc_ref[9:16, :] = jnp.zeros((7, CB), jnp.int32)
+        final = jax.lax.fori_loop(0, TILE, body, carry0)
+        for j, v in enumerate(final):
+            carry_ref[j:j + 1, :] = v
+
+        @pl.when(pt == n_tiles - 1)
+        def _():
+            (ctx, d0, d1, d2, d3, live, hi, lo, since,
+             rctx, rd0, rd1, rd2, rd3, rlive, pord) = final
+            misc_ref[0:1, :] = hi
+            misc_ref[1:2, :] = lo
+            misc_ref[2:3, :] = rctx
+            misc_ref[3:4, :] = rlive
+            misc_ref[4:5, :] = rd0
+            misc_ref[5:6, :] = rd1
+            misc_ref[6:7, :] = rd2
+            misc_ref[7:8, :] = rd3
+            misc_ref[8:9, :] = pord
+            misc_ref[9:16, :] = jnp.zeros((7, CB), jnp.int32)
+
+            @pl.when(cap_tile >= n_tiles)
+            def _():
+                # capture point past the end: final state (since -> 0)
+                snapP_ref[:] = s_ref[:]
+                misc_ref[16:32, :] = carry_ref[:]
+                misc_ref[24:25, :] = jnp.zeros((1, CB), jnp.int32)
 
 
 MAX_TILE = 2048          # positions per grid step (VMEM budget, see below)
+
+
+def choose_tile(n: int) -> int:
+    """Positions per grid step.  Small tiles give the partial-re-cost
+    sweep finer start granularity (skipped prefix rounds down to a tile
+    boundary); large tiles amortize per-grid-step overhead.  Targets
+    ~8-32 tiles per block, capped by the VMEM budget (MAX_TILE)."""
+    t = 256
+    while t * 16 < n:
+        t *= 2
+    return max(1, min(t, MAX_TILE, n))
 
 
 @functools.partial(jax.jit, static_argnames=("cb", "interpret",
@@ -445,20 +550,31 @@ def repair_cost_pallas2(slabs, q, u, data, data_packed, cand_dist, cand_len,
                         corr, cb: int = 128, interpret: bool = False,
                         site_mode: str = "byte",
                         lrep_fallback: str = "litsrep",
-                        mut0=None, mut1=None):
-    """Drop-in replacement for pallas_repair.repair_cost_pallas (v1) with
-    the class-decomposed layout; identical contract and results.
+                        mut0=None, mut1=None,
+                        start_tile=None, cap_tile=None,
+                        probs_in=None, carry_in=None):
+    """Fused repair+cost kernel with the class-decomposed layout;
+    contract and results identical to repair_scan.repair_cost_batched.
 
     mut0/mut1 (optional, uint32[C]): mutated cell values substituted
     in-stream at positions q and q+1 while the kernel walks the slab —
     equivalent to scatter-writing them into `slabs` first, without the
     XLA scatter.
 
-    Blocks longer than MAX_TILE positions stream through the kernel in
-    position tiles (grid dim 1) with the probability state resident in
-    scratch — VMEM holds one tile of slab/candidates, not the block:
-    at cb=256, tile=2048: slab 2*2 MiB + probs 2*1.8 MiB + cands
-    0.25 MiB ~= 8 MiB of the ~16 MiB budget, independent of n."""
+    start_tile/cap_tile (optional int32 scalars) + probs_in
+    [C, PACKED_ROWS] / carry_in [C, 16]: partial re-cost.  The walk
+    starts at position start_tile*tile from the given snapshot (tiles
+    below copy the slab through verbatim) and captures the coder state
+    entering tile cap_tile into the snapshot outputs; cap_tile ==
+    n_tiles captures the final state.  Positions are tile-aligned by
+    construction — the engine converts positions to tiles with
+    choose_tile(n).  Defaults reproduce the historical full walk:
+    start 0, fresh init state, capture at the end (final probs).
+
+    Blocks longer than choose_tile(n) positions stream through the
+    kernel in position tiles (grid dim 1) with the probability state
+    resident in scratch — VMEM holds one tile of slab/candidates plus
+    three probability buffers (in/out/scratch), not the block."""
     C, n = slabs.shape
     M = cand_dist.shape[1]
     n4 = data_packed.shape[1]
@@ -468,9 +584,20 @@ def repair_cost_pallas2(slabs, q, u, data, data_packed, cand_dist, cand_len,
         assert cb % 128 == 0, f"v2 kernel needs cb%128==0 on TPU, got {cb}"
     grid = C // cb
 
-    tile = min(n, MAX_TILE)
+    tile = choose_tile(n)
     n_tiles = -(-n // tile)
     n_pad = n_tiles * tile
+
+    if start_tile is None:
+        start_tile = jnp.int32(0)
+    if cap_tile is None:
+        cap_tile = jnp.int32(n_tiles)
+    if probs_in is None:
+        probs_in = jnp.full((C, PACKED_ROWS), T.PROB_INIT, jnp.int32)
+    if carry_in is None:
+        carry_in = jnp.zeros((C, 16), jnp.int32)
+    sc = jnp.stack([jnp.asarray(start_tile, jnp.int32),
+                    jnp.asarray(cap_tile, jnp.int32)]).reshape(1, 2)
 
     # packed data words as [R, 128] rows (row r = words 128r..128r+127);
     # _shared_lookup_wide gathers lane-locally then row-selects.
@@ -491,15 +618,19 @@ def repair_cost_pallas2(slabs, q, u, data, data_packed, cand_dist, cand_len,
     qu = jnp.stack([q.astype(jnp.int32), u.astype(jnp.int32),
                     mpos, m0, m1])                               # [5, C]
     slabT = jnp.pad(jnp.transpose(slabs), ((0, n_pad - n), (0, 0)))
-    data2d = jnp.pad(data.astype(jnp.int32),
-                     (0, n_pad - n)).reshape(n_tiles, tile)
+    # data rides SMEM as a 1-D block: a (1, tile) 2-D block would break
+    # the Mosaic (8, 128)-divisibility rule whenever n_tiles > 1, and
+    # 1-D s32 SMEM blocks must align to XLA's 1024-element tiling
+    BK = max(tile, 1024)
+    n_pad_d = -(-n_pad // BK) * BK
+    data1d = jnp.pad(data.astype(jnp.int32), (0, n_pad_d - n))
     cd = jnp.pad(cand_dist, ((0, n_pad - n), (0, 0)))
     cl = jnp.pad(cand_len, ((0, n_pad - n), (0, 0)))
     rtoff = jnp.asarray(rt_offset_table())
 
     kern = functools.partial(_kernel, n=n, R=R, M=M, CB=cb, TILE=tile,
-                             SITE=site_mode, FB=lrep_fallback)
-    out_slabT, probsC, misc = pl.pallas_call(
+                             BK=BK, SITE=site_mode, FB=lrep_fallback)
+    out_slabT, snapP, misc = pl.pallas_call(
         kern,
         grid=(grid, n_tiles),
         in_specs=[
@@ -507,7 +638,9 @@ def repair_cost_pallas2(slabs, q, u, data, data_packed, cand_dist, cand_len,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((5, cb), lambda g, t: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda g, t: (t, 0),
+            pl.BlockSpec((1, 2), lambda g, t: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((BK,), lambda g, t: ((t * tile) // BK,),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((R, 128), lambda g, t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -519,26 +652,32 @@ def repair_cost_pallas2(slabs, q, u, data, data_packed, cand_dist, cand_len,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 128), lambda g, t: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((PACKED_ROWS, cb), lambda g, t: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, cb), lambda g, t: (0, g),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((tile, cb), lambda g, t: (t, g),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((PACKED_ROWS, cb), lambda g, t: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, cb), lambda g, t: (0, g),
+            pl.BlockSpec((32, cb), lambda g, t: (0, g),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, C), jnp.uint32),
             jax.ShapeDtypeStruct((PACKED_ROWS, C), jnp.int32),
-            jax.ShapeDtypeStruct((16, C), jnp.int32),
+            jax.ShapeDtypeStruct((32, C), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((PACKED_ROWS, cb), jnp.int32),
                         pltpu.VMEM((16, cb), jnp.int32)],
         interpret=interpret,
-    )(slabT, qu, data2d, dpkR, cd, cl, corr, rtoff)
+    )(slabT, qu, sc, data1d, dpkR, cd, cl, corr, rtoff,
+      jnp.transpose(probs_in), jnp.transpose(carry_in))
 
-    packed = jnp.transpose(probsC)        # [C, PACKED_ROWS] — canonical
+    packed = jnp.transpose(snapP)         # [C, PACKED_ROWS] — canonical
     rdists = jnp.transpose(misc[4:8, :])
     return (jnp.transpose(out_slabT[:n, :]), misc[0], misc[1], packed,
-            misc[2], rdists, misc[3], misc[8])
+            misc[2], rdists, misc[3], misc[8],
+            jnp.transpose(misc[16:32, :]))

@@ -13,6 +13,17 @@ functional scan over the (already mutated) slab:
   * at scan index u it records (ctx, dists, live_pos): the coder state at
     the next mutation site, consumed by the next iteration's proposer.
 
+Partial re-cost (SURVEY §7's snapshot mitigation for the reference's
+O(n)-per-move full re-encode, packet_slab_neighbour.c:154-173): the pass
+can (a) START from a coder-state snapshot at position `start_pos`
+(probs_in/carry_in) instead of position 0 — positions < start_pos pass
+through verbatim and contribute their cost via the snapshot's hi/lo —
+and (b) CAPTURE a snapshot of the full coder state entering position
+`cap_pos` (cap_pos >= n means "after the last position", i.e. the final
+state).  The caller must guarantee start_pos <= min(q, u) and
+cap_pos <= q so the capture is valid for both the accepted and the
+rejected slab (the prefix below the mutation site is shared).
+
 Deviations from the reference, by design:
   * an unrepairable long rep falls back to literal/short-rep instead of
     a state-dependent top-K resample (which would put candidate search
@@ -24,7 +35,7 @@ Deviations from the reference, by design:
     from the table is treated as invalid — a safe false negative: the
     parse stays valid, the move is just slightly more conservative.
     This keeps the semantics identical between this scan and the fused
-    Pallas kernel (ops/pallas_repair.py), which cannot afford wide
+    Pallas kernel (ops/pallas_repair2.py), which cannot afford wide
     per-chain gathers in its inner loop.
 """
 from __future__ import annotations
@@ -122,7 +133,7 @@ def _repair_entry(i, ptype, dist, length, carry: RepairCarry, data,
 
 def repair_step(carry: RepairCarry, i, entry, q, u, data, cand_d_row,
                 cand_l_row, log2, site_mode="byte",
-                lrep_fallback="litsrep"):
+                lrep_fallback="litsrep", start_pos=0):
     n = data.shape[0]
     active = i == carry.live_pos
 
@@ -132,10 +143,12 @@ def repair_step(carry: RepairCarry, i, entry, q, u, data, cand_d_row,
     # live-packet ordinal -> uniform over live packets, the reference's
     # distribution (packet_slab_neighbour.c:162-163) up to the one-pass
     # staleness of the count the ordinal was drawn from.
+    # Positions below start_pos are outside the walked region (the fused
+    # kernel never visits their tiles), so they never record.
     if site_mode == "packet":
         at_u = active & (carry.ord == u)
     else:
-        at_u = i == u
+        at_u = (i == u) & (i >= start_pos)
     carry = carry._replace(
         rec_ctx=jnp.where(at_u, carry.ctx, carry.rec_ctx),
         rec_dists=jnp.where(at_u, carry.dists, carry.rec_dists),
@@ -165,9 +178,14 @@ def repair_step(carry: RepairCarry, i, entry, q, u, data, cand_d_row,
     hi, lo = fp.accumulate(carry.cost_hi, carry.cost_lo, cost)
 
     out_entry = jnp.where(
-        active,
-        P.pack(ptype, dist, length, live=1),
-        jnp.asarray(entry, jnp.uint32) & jnp.uint32(~(1 << P.LIVE_SHIFT) & 0xFFFFFFFF),
+        i < start_pos,                      # unwalked prefix: verbatim
+        jnp.asarray(entry, jnp.uint32),
+        jnp.where(
+            active,
+            P.pack(ptype, dist, length, live=1),
+            jnp.asarray(entry, jnp.uint32)
+            & jnp.uint32(~(1 << P.LIVE_SHIFT) & 0xFFFFFFFF),
+        ),
     )
     carry = RepairCarry(
         probs=probs,
@@ -203,13 +221,50 @@ def _init_carry(C: int) -> RepairCarry:
     )
 
 
+# The [16]-row scalar-carry snapshot layout, shared bit-for-bit with the
+# fused kernel's VMEM carry (ops/pallas_repair2._kernel): one int32 row
+# per field, chains on the trailing axis.
+CARRY16 = ("ctx", "d0", "d1", "d2", "d3", "live", "hi", "lo", "since",
+           "rctx", "rd0", "rd1", "rd2", "rd3", "rlive", "pord")
+
+
+def carry_to16(c: RepairCarry) -> jnp.ndarray:
+    """RepairCarry scalars -> int32[C, 16] (probs excluded)."""
+    return jnp.stack([
+        c.ctx, c.dists[:, 0], c.dists[:, 1], c.dists[:, 2], c.dists[:, 3],
+        c.live_pos, c.cost_hi, c.cost_lo, c.since_mut,
+        c.rec_ctx, c.rec_dists[:, 0], c.rec_dists[:, 1],
+        c.rec_dists[:, 2], c.rec_dists[:, 3], c.rec_live, c.ord,
+    ], axis=1)
+
+
+def carry_from16(probs, c16) -> RepairCarry:
+    """int32[C, 16] + flat probs -> RepairCarry."""
+    return RepairCarry(
+        probs=probs, ctx=c16[:, 0], dists=c16[:, 1:5], live_pos=c16[:, 5],
+        cost_hi=c16[:, 6], cost_lo=c16[:, 7], since_mut=c16[:, 8],
+        rec_ctx=c16[:, 9], rec_dists=c16[:, 10:14], rec_live=c16[:, 14],
+        ord=c16[:, 15],
+    )
+
+
 def repair_cost_batched(slabs, q, u, data, cand_dist, cand_len, log2,
                         unroll: int = 1, site_mode: str = "byte",
-                        lrep_fallback: str = "litsrep"):
+                        lrep_fallback: str = "litsrep",
+                        start_pos=None, cap_pos=None,
+                        probs_in=None, carry_in=None):
     """Run the fused pass for C chains in one scan.
 
     slabs: uint32[C, n] mutated slabs; q, u: int32[C];
     cand_dist/cand_len: int32[n, M] candidate table (len 0 = empty slot).
+
+    start_pos (scalar): first walked position; positions below pass
+    through verbatim, with their cost/state supplied by the snapshot
+    (probs_in [C, PROBS_PAD] flat + carry_in [C, 16], see CARRY16).
+    Defaults: start 0 with the fresh init state.
+    cap_pos (scalar): position whose entering coder state is captured
+    into the snapshot outputs; >= n (the default) captures the final
+    state, preserving the historical "final probs" return.
 
     PERFORMANCE CONTRACT (measured on TPU): gathers with traced indices
     from *loop-invariant* arrays inside lax.scan hit a ~120us/step slow
@@ -221,32 +276,57 @@ def repair_cost_batched(slabs, q, u, data, cand_dist, cand_len, log2,
     scan's xs (one row per step), never a gather at all.
 
     Returns (new_slabs [C,n] with live bits, cost_hi[C], cost_lo[C],
-    final_probs [C,P], rec_ctx[C], rec_dists[C,4], rec_live[C],
-    live_count[C]).
+    snap_probs [C,P] (final probs with the default cap), rec_ctx[C],
+    rec_dists[C,4], rec_live[C], live_count[C], snap_carry [C,16]).
     """
     C, n = slabs.shape
-    init = (_init_carry(C), (data, log2))
+    if start_pos is None:
+        start_pos = jnp.int32(0)
+    if cap_pos is None:
+        cap_pos = jnp.int32(n)
+    if probs_in is None:
+        carry0 = _init_carry(C)
+    else:
+        carry0 = carry_from16(probs_in, carry_in)
+    snap0 = (carry0.probs, carry_to16(carry0))
+    init = (carry0, snap0, (data, log2))
 
     def step(carry_tab, xs):
-        carry, (d, lg) = carry_tab
+        carry, snap, (d, lg) = carry_tab
         i, entries, cd_row, cl_row = xs
+        # capture the state *entering* position cap_pos (scalar branch:
+        # only a copy when it fires, nothing otherwise).  `since` (row 8)
+        # is pass-relative — it counts repairs from THIS pass's q — so
+        # the snapshot stores 0, the value any later pass (whose q is
+        # >= cap_pos by contract) would have at this position.
+        snap = jax.lax.cond(
+            i == cap_pos,
+            lambda c, s: (c.probs, carry_to16(c).at[:, 8].set(0)),
+            lambda c, s: s,
+            carry, snap)
         body = jax.vmap(
             functools.partial(repair_step, site_mode=site_mode,
-                              lrep_fallback=lrep_fallback),
+                              lrep_fallback=lrep_fallback,
+                              start_pos=start_pos),
             in_axes=(0, None, 0, 0, 0, None, None, None, None),
         )
         carry, outs = body(carry, i, entries, q, u, d, cd_row, cl_row, lg)
-        return (carry, (d, lg)), outs
+        return (carry, snap, (d, lg)), outs
 
-    (carry, _), new_slabs = jax.lax.scan(
+    (carry, snap, _), new_slabs = jax.lax.scan(
         step, init,
         (jnp.arange(n, dtype=jnp.int32), jnp.transpose(slabs),
          cand_dist, cand_len),
         unroll=unroll,
     )
+    # cap_pos >= n: the capture point is "after the last position"
+    past_end = cap_pos >= n
+    snap_probs = jnp.where(past_end, carry.probs, snap[0])
+    snap_c16 = jnp.where(past_end, carry_to16(carry).at[:, 8].set(0),
+                         snap[1])
     return (jnp.transpose(new_slabs), carry.cost_hi, carry.cost_lo,
-            carry.probs, carry.rec_ctx, carry.rec_dists, carry.rec_live,
-            carry.ord)
+            snap_probs, carry.rec_ctx, carry.rec_dists, carry.rec_live,
+            carry.ord, snap_c16)
 
 
 def repair_cost(slab, q, u, data, cand_dist, cand_len, log2,

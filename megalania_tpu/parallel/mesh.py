@@ -81,7 +81,8 @@ def sharded_step(mesh: Mesh, cfg: AnnealConfig, n_iters: int):
     BLOCK_AXIS.
     """
     chain_sharded = {"slab", "cost_hi", "cost_lo", "rank_probs", "rec_ctx",
-                     "rec_dists", "rec_live", "live_count", "key"}
+                     "rec_dists", "rec_live", "live_count", "key",
+                     "snap_carry"}
 
     def state_spec():
         chains = engine.ChainState(
@@ -95,6 +96,12 @@ def sharded_step(mesh: Mesh, cfg: AnnealConfig, n_iters: int):
             it_in_epoch=PSpec(BLOCK_AXIS),
             epochs_done=PSpec(BLOCK_AXIS),
             moves_done=PSpec(BLOCK_AXIS),
+            # sweep scalars: identical on every chain shard of a block
+            # (derived from the replicated per-block skey)
+            sweep_j=PSpec(BLOCK_AXIS),
+            snap_pos=PSpec(BLOCK_AXIS),
+            u_prev=PSpec(BLOCK_AXIS),
+            skey=PSpec(BLOCK_AXIS),
         )
 
     ctx_spec = engine.BlockContext(

@@ -29,7 +29,10 @@ def save(path: str, state: engine.AnnealState) -> None:
             v = jax.random.key_data(v)
         arrays[f"chains.{f}"] = np.asarray(v)
     for f in _FIELDS_TOP:
-        arrays[f] = np.asarray(getattr(state, f))
+        v = getattr(state, f)
+        if f == "skey":
+            v = jax.random.key_data(v)
+        arrays[f] = np.asarray(v)
     # atomic write
     d = os.path.dirname(os.path.abspath(path)) or "."
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
@@ -50,5 +53,10 @@ def load(path: str) -> engine.AnnealState:
             if f == "key":
                 v = jax.random.wrap_key_data(v)
             chain_kwargs[f] = v
-        top = {f: jnp.asarray(z[f]) for f in _FIELDS_TOP}
+        top = {}
+        for f in _FIELDS_TOP:
+            v = jnp.asarray(z[f])
+            if f == "skey":
+                v = jax.random.wrap_key_data(v)
+            top[f] = v
     return engine.AnnealState(chains=engine.ChainState(**chain_kwargs), **top)

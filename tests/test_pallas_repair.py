@@ -8,7 +8,7 @@ import jax.numpy as jnp
 from megalania_tpu.anneal import engine, moves
 from megalania_tpu.anneal.config import AnnealConfig
 from megalania_tpu.models import packets as P
-from megalania_tpu.ops import pallas_repair, repair_scan, tables as T
+from megalania_tpu.ops import pallas_repair2, repair_scan, tables as T
 
 DATA = (b"abra cadabra abra cadabra! abracadabra? "
         b"the rain in spain falls mainly on the plain. " * 3)[:192]
@@ -21,21 +21,9 @@ def ctx():
     return engine.make_context(DATA, cfg)
 
 
-def _run_both(ctx, slabs, q, u):
-    corr = jnp.asarray(pallas_repair.log2_correction(interpret=True))
-    got = pallas_repair.repair_cost_pallas(
-        slabs, q, u, ctx.data, ctx.data_packed, ctx.cand_dist,
-        ctx.cand_len, corr, cb=C, interpret=True,
-    )
-    want = repair_scan.repair_cost_batched(
-        slabs, q, u, ctx.data, ctx.cand_dist, ctx.cand_len, ctx.log2,
-    )
-    return got, want
-
-
 def _check(got, want):
     names = ("slab", "hi", "lo", "probs", "rec_ctx", "rec_dists",
-             "rec_live", "live_count")
+             "rec_live", "live_count", "snap_carry")
     for name, g, w in zip(names, got, want):
         g, w = np.asarray(g), np.asarray(w)
         if name == "probs":
@@ -43,44 +31,12 @@ def _check(got, want):
         np.testing.assert_array_equal(g, w, err_msg=name)
 
 
-def test_parity_all_literals(ctx):
-    n = ctx.data.shape[0]
-    slabs = jnp.broadcast_to(jnp.asarray(P.literal_slab(n)), (C, n))
-    q = jnp.zeros(C, jnp.int32)
-    u = jnp.arange(C, dtype=jnp.int32) * (n // C)
-    got, want = _run_both(ctx, slabs, q, u)
-    _check(got, want)
-
-
-def test_parity_mutated_slabs(ctx, rng):
-    """Random rep/match mutations at random sites, random repair starts."""
-    n = ctx.data.shape[0]
-    base = P.literal_slab(n)
-    slabs = np.broadcast_to(base, (C, n)).copy()
-    cd = np.asarray(ctx.cand_dist)
-    cl = np.asarray(ctx.cand_len)
-    for c in range(C):
-        for _ in range(6):
-            i = int(rng.integers(2, n - 4))
-            m = int(rng.integers(0, cd.shape[1]))
-            if cl[i, m] >= 2:
-                slabs[c, i] = P.pack_np(
-                    P.MATCH, cd[i, m], min(int(cl[i, m]), n - i))
-            slabs[c, int(rng.integers(1, n))] = P.pack_np(
-                P.LREP, int(rng.integers(0, 4)), 2)
-            slabs[c, int(rng.integers(1, n))] = P.pack_np(P.SREP, 0, 1)
-    q = jnp.asarray(rng.integers(0, n // 2, C), jnp.int32)
-    u = jnp.asarray(rng.integers(0, n, C), jnp.int32)
-    got, want = _run_both(ctx, jnp.asarray(slabs), q, u)
-    _check(got, want)
-
-
 def test_engine_pallas_matches_xla(ctx):
     """Whole-engine smoke: same trajectory under both kernels."""
     cfg_x = AnnealConfig(chains=C, max_candidates=8, max_walk=48,
                          top_k=12, kernel="xla")
     cfg_p = AnnealConfig(chains=C, max_candidates=8, max_walk=48,
-                         top_k=12, kernel="pallas", chain_block=C)
+                         top_k=12, kernel="pallas2", chain_block=C)
     sx = engine.run_iters(engine.init_state(ctx, cfg_x), ctx, cfg_x, 12)
     sp = engine.run_iters(engine.init_state(ctx, cfg_p), ctx, cfg_p, 12)
     assert int(sx.best_hi) == int(sp.best_hi)
@@ -90,8 +46,7 @@ def test_engine_pallas_matches_xla(ctx):
 
 
 def _run_v2(ctx, slabs, q, u, monkeypatch=None, max_tile=None):
-    from megalania_tpu.ops import pallas_repair2
-    corr = jnp.asarray(pallas_repair.log2_correction(interpret=True))
+    corr = jnp.asarray(pallas_repair2.log2_correction(interpret=True))
     fn = pallas_repair2.repair_cost_pallas2
     if max_tile is not None:
         monkeypatch.setattr(pallas_repair2, "MAX_TILE", max_tile)
@@ -138,11 +93,10 @@ def test_v2_inkernel_mutation_matches_scatter(ctx, rng):
     """In-stream substitution of the two mutated cells at q/q+1 ==
     scatter-writing them into the slab first, bit for bit — including
     q == n-1, where only the q cell exists."""
-    from megalania_tpu.ops import pallas_repair2
     n = ctx.data.shape[0]
     slabs, q, u = _mutated_slabs(ctx, rng)
     q = q.at[0].set(n - 1)                       # last-position edge case
-    corr = jnp.asarray(pallas_repair.log2_correction(interpret=True))
+    corr = jnp.asarray(pallas_repair2.log2_correction(interpret=True))
     mut0 = jnp.asarray(
         P.pack_np(P.SREP, np.zeros(C, np.int64), np.ones(C, np.int64)))
     mut1 = jnp.asarray(
@@ -204,10 +158,10 @@ def test_rank_kernel_parity(ctx, rng):
     from megalania_tpu.models import packets as P2
     candp = P2.pack(cands.ptype, cands.dist, cands.length,
                     cands.valid.astype(jnp.int32))
-    corr = jnp.asarray(pallas_repair.log2_correction(interpret=True))
+    corr = jnp.asarray(pallas_repair2.log2_correction(interpret=True))
     got = pallas_rank.rank_pallas(
-        ch.rank_probs, candp, rec_ctx, rec_dists, qc, byte, mb,
-        ctx.log2, ctx.f2p, corr, n, cb=C, interpret=True)
+        ch.rank_probs, candp, rec_ctx, rec_dists, byte, mb,
+        ctx.log2, ctx.f2p, corr, cb=C, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
@@ -229,11 +183,10 @@ def test_engine_ranker_kernel_matches_xla(ctx):
 def test_v2_parity_packet_site_mode(ctx, rng):
     """site_mode='packet': ordinal site selection + live count, v2 vs
     golden scan."""
-    from megalania_tpu.ops import pallas_repair2
     slabs, q, _ = _mutated_slabs(ctx, rng)
     Cn = slabs.shape[0]
     u = jnp.asarray(rng.integers(0, 64, Cn), jnp.int32)  # ordinals
-    corr = jnp.asarray(pallas_repair.log2_correction(interpret=True))
+    corr = jnp.asarray(pallas_repair2.log2_correction(interpret=True))
     got = list(pallas_repair2.repair_cost_pallas2.__wrapped__(
         slabs, q, u, ctx.data, ctx.data_packed, ctx.cand_dist,
         ctx.cand_len, corr, cb=C, interpret=True, site_mode="packet"))
@@ -258,9 +211,9 @@ def test_engine_packet_site_mode(ctx):
 
 def test_v2_parity_lrep_fallback_match(ctx, rng):
     """lrep_fallback='match' (reference-flavoured repair), v2 vs scan."""
-    from megalania_tpu.ops import pallas_repair2, problayout as PL
+    from megalania_tpu.ops import problayout as PL
     slabs, q, u = _mutated_slabs(ctx, rng)
-    corr = jnp.asarray(pallas_repair.log2_correction(interpret=True))
+    corr = jnp.asarray(pallas_repair2.log2_correction(interpret=True))
     got = list(pallas_repair2.repair_cost_pallas2.__wrapped__(
         slabs, q, u, ctx.data, ctx.data_packed, ctx.cand_dist,
         ctx.cand_len, corr, cb=C, interpret=True,
@@ -275,3 +228,82 @@ def test_v2_parity_lrep_fallback_match(ctx, rng):
     base = repair_scan.repair_cost_batched(
         slabs, q, u, ctx.data, ctx.cand_dist, ctx.cand_len, ctx.log2)
     assert not np.array_equal(np.asarray(want[0]), np.asarray(base[0]))
+
+def test_partial_recost_parity(ctx, rng, monkeypatch):
+    """Snapshot-based partial re-cost (VERDICT r2 item 1): a pass that
+    starts from the snapshot captured by an earlier pass is bit-
+    identical to a full walk from position 0 — kernel and golden scan,
+    all nine outputs."""
+    from megalania_tpu.ops import problayout as PL
+    monkeypatch.setattr(pallas_repair2, "MAX_TILE", 64)
+    n = ctx.data.shape[0]
+    tile = pallas_repair2.choose_tile(n)
+    assert tile == 64 and n == 192
+    fn = pallas_repair2.repair_cost_pallas2.__wrapped__
+    corr = jnp.asarray(pallas_repair2.log2_correction(interpret=True))
+
+    slabs, q, u = _mutated_slabs(ctx, rng)
+    # pass 1: full walk, capture the state entering tile 1 (pos 64)
+    p1 = list(fn(slabs, q, u, ctx.data, ctx.data_packed, ctx.cand_dist,
+                 ctx.cand_len, corr, cb=C, interpret=True,
+                 cap_tile=jnp.int32(1)))
+    w1 = repair_scan.repair_cost_batched(
+        slabs, q, u, ctx.data, ctx.cand_dist, ctx.cand_len, ctx.log2,
+        cap_pos=jnp.int32(64))
+    np.testing.assert_array_equal(
+        np.asarray(PL.flat_from_packed(p1[3]))[:, :T.NUM_PROBS],
+        np.asarray(w1[3])[:, :T.NUM_PROBS], err_msg="captured probs")
+    np.testing.assert_array_equal(np.asarray(p1[8]), np.asarray(w1[8]),
+                                  err_msg="captured carry")
+
+    # pass 2: mutation sites >= capture position; snapshot start == full
+    q2 = jnp.asarray(rng.integers(128, n, C), jnp.int32)
+    u2 = jnp.asarray(rng.integers(64, n, C), jnp.int32)
+    slab1 = p1[0]
+    full = list(fn(slab1, q2, u2, ctx.data, ctx.data_packed, ctx.cand_dist,
+                   ctx.cand_len, corr, cb=C, interpret=True))
+    part = list(fn(slab1, q2, u2, ctx.data, ctx.data_packed, ctx.cand_dist,
+                   ctx.cand_len, corr, cb=C, interpret=True,
+                   start_tile=jnp.int32(1), probs_in=p1[3],
+                   carry_in=p1[8]))
+    for g, w in zip(part, full):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    # same equivalence for the golden scan
+    wfull = repair_scan.repair_cost_batched(
+        slab1, q2, u2, ctx.data, ctx.cand_dist, ctx.cand_len, ctx.log2)
+    wpart = repair_scan.repair_cost_batched(
+        slab1, q2, u2, ctx.data, ctx.cand_dist, ctx.cand_len, ctx.log2,
+        start_pos=jnp.int32(64), probs_in=w1[3], carry_in=w1[8])
+    for g, w in zip(wpart, wfull):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_engine_sweep_matches_random_cost_exactness(ctx):
+    """The sweep schedule produces a different trajectory than 'random'
+    (different site draws) but every accepted cost stays exact: re-cost
+    the final best slab from scratch and compare bit for bit."""
+    cfg = AnnealConfig(chains=C, max_candidates=8, max_walk=48, top_k=12,
+                       site_schedule="sweep")
+    s = engine.run_iters(engine.init_state(ctx, cfg), ctx, cfg, 24)
+    best = jnp.broadcast_to(s.best_slab, (C, s.best_slab.shape[0]))
+    n = ctx.data.shape[0]
+    out = repair_scan.repair_cost_batched(
+        best, jnp.full(C, n, jnp.int32), jnp.zeros(C, jnp.int32),
+        ctx.data, ctx.cand_dist, ctx.cand_len, ctx.log2)
+    assert int(out[1][0]) == int(s.best_hi), (int(out[1][0]),
+                                              int(s.best_hi))
+    assert int(out[2][0]) == int(s.best_lo)
+
+
+def test_engine_sweep_deterministic(ctx):
+    """Sweep schedule: same seed -> identical best, different seed ->
+    (almost surely) different trajectory."""
+    cfg = AnnealConfig(chains=C, max_candidates=8, max_walk=48, top_k=12,
+                       site_schedule="sweep")
+    s1 = engine.run_iters(engine.init_state(ctx, cfg), ctx, cfg, 16)
+    s2 = engine.run_iters(engine.init_state(ctx, cfg), ctx, cfg, 16)
+    assert int(s1.best_hi) == int(s2.best_hi)
+    assert int(s1.best_lo) == int(s2.best_lo)
+    np.testing.assert_array_equal(np.asarray(s1.best_slab),
+                                  np.asarray(s2.best_slab))

@@ -11,7 +11,10 @@ prove the path and measure steady-state throughput at n=65536.
 
 Usage: python tools/run_64k_block.py [moves] [chains]
 """
-import sys; sys.path.insert(0, "/root/repo")
+import sys
+import os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
 import json
 import subprocess
 import tempfile
@@ -32,10 +35,14 @@ MOVES = int(sys.argv[1]) if len(sys.argv) > 1 else 128 * CHAINS
 
 
 def main():
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     raw = b""
-    for p in ("/root/repo/SURVEY.md", "/opt/skills/guides/pallas_guide.md",
-              "/root/repo/PERF.md", "/root/repo/README.md"):
-        raw += open(p, "rb").read()
+    for p in (_os.path.join(repo, "SURVEY.md"),
+              "/opt/skills/guides/pallas_guide.md",
+              _os.path.join(repo, "PERF.md"),
+              _os.path.join(repo, "README.md")):
+        if _os.path.exists(p):
+            raw += open(p, "rb").read()
     data = (raw * (N // len(raw) + 1))[:N]
 
     cfg = AnnealConfig(chains=CHAINS, chain_block=min(CHAINS, 256),

@@ -5,7 +5,7 @@ import numpy as np, jax, jax.numpy as jnp
 from megalania_tpu.anneal import engine
 from megalania_tpu.anneal.config import AnnealConfig
 from megalania_tpu.models import packets as P
-from megalania_tpu.ops import pallas_repair, pallas_repair2, repair_scan, tables as T
+from megalania_tpu.ops import pallas_repair2, repair_scan, tables as T
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -34,7 +34,7 @@ q = jnp.asarray(rng.integers(0, n, C), jnp.int32)
 u = jnp.asarray(rng.integers(0, n, C), jnp.int32)
 slabs_j = jnp.asarray(slabs)
 
-corr = jnp.asarray(pallas_repair.log2_correction(interpret=False))
+corr = jnp.asarray(pallas_repair2.log2_correction(interpret=False))
 t0 = time.time()
 got = jax.block_until_ready(pallas_repair2.repair_cost_pallas2(
     slabs_j, q, u, ctx.data, ctx.data_packed, ctx.cand_dist, ctx.cand_len,
