@@ -57,6 +57,11 @@ class AnnealConfig:
     # "random" is the independent per-chain uniform site draw (always a
     # full walk from 0).  site_mode="packet" forces "random".
     site_schedule: str = "sweep"
+    # passes spent in each sweep stratum before advancing.  >1 amortizes
+    # the full-walk ramp at the start of each sweep: within a stratum,
+    # later passes start at that stratum's own tile boundary.  Site
+    # coverage stays uniform (sweep_repeats draws per stratum).
+    sweep_repeats: int = 4
     # repair fallback for an un-re-aimable long rep: "litsrep" (ours) or
     # "match" (reference-flavoured: best table match at the site,
     # approximating the reference's in-repair top-K resample,
@@ -89,6 +94,8 @@ class AnnealConfig:
         if self.site_schedule not in ("sweep", "random"):
             raise ValueError(
                 f"unknown site_schedule {self.site_schedule!r}")
+        if self.sweep_repeats < 1:
+            raise ValueError("sweep_repeats must be >= 1")
         if self.lrep_fallback not in ("litsrep", "match"):
             raise ValueError(
                 f"unknown lrep_fallback {self.lrep_fallback!r}")

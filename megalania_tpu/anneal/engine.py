@@ -307,16 +307,11 @@ def _chains_iter(state: AnnealState, ctx: BlockContext, step,
 
     if sched == "sweep":
         tile = pallas_repair2.choose_tile(n)
-        j = state.sweep_j
+        j = state.sweep_j                # pass counter within the sweep
         fresh_sweep = j == 0
-        # start at the held snapshot; capture entering the tile of the
-        # previous site (<= every chain's q this pass, so the capture is
-        # valid for accepted AND rejected slabs)
+        # start at the held snapshot (fresh init state at sweep start)
         start_pos = jnp.where(fresh_sweep, 0, state.snap_pos)
-        cap_pos = jnp.where(fresh_sweep, jnp.int32(0),
-                            (state.u_prev // tile) * tile)
-        cap_pos = jnp.maximum(cap_pos, start_pos)
-        stratum = jnp.minimum(j * tile, n - 1)
+        stratum = jnp.minimum((j // cfg.sweep_repeats) * tile, n - 1)
         width = jnp.maximum(jnp.minimum(tile, n - stratum), 1)
         u_shared = stratum + jax.random.randint(k_su, (), 0, width)
         probs_c = jnp.where(fresh_sweep, jnp.int32(T.PROB_INIT),
@@ -324,7 +319,7 @@ def _chains_iter(state: AnnealState, ctx: BlockContext, step,
         carry_c = jnp.where(fresh_sweep, jnp.int32(0), chains.snap_carry)
         q_floor = start_pos
     else:
-        start_pos = cap_pos = None       # full walk, capture final state
+        start_pos = None                 # full walk
         u_shared = jnp.int32(0)
         probs_c = carry_c = None
         carry16 = jnp.zeros((Cn, 16), jnp.int32)
@@ -336,6 +331,16 @@ def _chains_iter(state: AnnealState, ctx: BlockContext, step,
     rec_ctx = jnp.where(fresh, base_carry[:, 0], chains.rec_ctx)
     rec_dists = jnp.where(fresh[:, None], base_carry[:, 1:5],
                           chains.rec_dists)
+
+    if sched == "sweep":
+        # capture at the highest tile boundary valid for EVERY chain:
+        # <= every mutation site q this pass (so the snapshot holds for
+        # accepted and rejected slabs alike) and <= this pass's
+        # recording site u (the next pass mutates at rec_live(u) >= u)
+        cap_pos = jnp.minimum(jnp.min(q), u_shared) // tile * tile
+        cap_pos = jnp.maximum(cap_pos, start_pos)
+    else:
+        cap_pos = None                   # capture the final state
 
     if Pn > 1:
         def rep(x):
@@ -459,8 +464,9 @@ def anneal_iteration(state: AnnealState, ctx: BlockContext,
     if sched == "sweep":
         tile = pallas_repair2.choose_tile(n)
         n_tiles = -(-n // tile)
+        sweep_len = n_tiles * cfg.sweep_repeats
         j_next = state.sweep_j + 1
-        j_next = jnp.where((j_next >= n_tiles) | restart, 0, j_next)
+        j_next = jnp.where((j_next >= sweep_len) | restart, 0, j_next)
     else:
         j_next = jnp.int32(0)
     return AnnealState(
