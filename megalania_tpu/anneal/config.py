@@ -83,6 +83,8 @@ class AnnealConfig:
             raise ValueError("chains must be >= 1")
         if self.proposals < 1:
             raise ValueError("proposals must be >= 1")
+        if not (1 <= self.sublens <= 10):
+            raise ValueError("sublens must be in 1..10 (moves._sublens)")
         if self.chain_block % 8 != 0:
             raise ValueError("chain_block must be a sublane multiple (8)")
         if self.kernel not in ("auto", "xla", "pallas2"):

@@ -247,7 +247,7 @@ def _propose(slabs, q, rec_ctx, rec_dists, rank_probs, keys,
         cands = jax.vmap(
             lambda s, qq, rd: moves.enumerate_candidates(
                 s, qq, rd, ctx.data, ctx.rank, ctx.sparse, ctx.cand_dist,
-                ctx.cand_len, ctx.cand_count)
+                ctx.cand_len, ctx.cand_count, sublens=cfg.sublens)
         )(slabs, q, rec_dists)
         qc = jnp.clip(q, 0, n - 1)
         candp = P.pack(cands.ptype, cands.dist, cands.length,
@@ -270,7 +270,8 @@ def _propose(slabs, q, rec_ctx, rec_dists, rank_probs, keys,
         )(slabs, q, rec_dists, cands, metric, keys, ctx.data)
         return slab2, None, None
     slab2 = jax.vmap(
-        functools.partial(moves.propose, top_k=cfg.top_k),
+        functools.partial(moves.propose, top_k=cfg.top_k,
+                          sublens=cfg.sublens),
         in_axes=(0, 0, 0, 0, 0, None, None, None, None, None, None, 0,
                  None, None),
     )(slabs, q, rec_ctx, rec_dists, rank_probs, ctx.data,

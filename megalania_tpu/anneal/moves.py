@@ -28,20 +28,41 @@ from ..match.suffix import lce_jnp
 from ..models import packets as P
 from ..ops import bitplan, tables as T
 
-SUBLENS = 3  # lengths evaluated per (dist, maxlen) entry: m, m*2//3, 2
+SUBLENS = 3  # default lengths per (dist, maxlen) entry: m, m*2//3, 2
 BIG = 2 ** 30        # plain int: no backend init at import
 
 
-def _sublens(maxlen):
-    """[SUBLENS] candidate lengths for one entry, duplicates masked."""
+def _sublens(maxlen, k: int = SUBLENS):
+    """[k] candidate lengths for one entry, duplicates masked.
+
+    The reference enumerates EVERY length 2..ext per occurrence
+    (/root/reference/src/substring_enumerator.c:85-105); a dense sweep is
+    too wide for the TPU candidate tensor, so k spread points cover the
+    range: the max, near-max cuts (the usual optima), fractions, and the
+    minimum.  k=3 reproduces the historical {m, 2m/3, 2} exactly."""
     m = maxlen
-    lens = jnp.stack([m, jnp.maximum((m * 2) // 3, 2), jnp.full_like(m, 2)])
-    keep = jnp.stack([
-        jnp.ones_like(m, bool),
-        lens[1] != lens[0],
-        (lens[2] != lens[1]) & (lens[2] != lens[0]),
-    ])
-    return lens, keep
+    two = jnp.full_like(m, 2)
+    gens = [
+        m,
+        jnp.maximum((m * 2) // 3, 2),
+        two,
+        jnp.maximum(m - 1, 2),
+        jnp.maximum(m - 2, 2),
+        jnp.maximum((m * 3) // 4, 2),
+        jnp.maximum(m // 2, 2),
+        jnp.maximum(m // 3, 2),
+        jnp.maximum(m - 3, 2),
+        jnp.full_like(m, 3),
+    ]
+    assert k <= len(gens), k
+    lens = jnp.stack(gens[:k])
+    keep = [jnp.ones_like(m, bool)]
+    for j in range(1, k):
+        uniq = jnp.ones_like(m, bool)
+        for jj in range(j):
+            uniq = uniq & (lens[j] != lens[jj])
+        keep.append(uniq)
+    return lens, jnp.stack(keep)
 
 
 class Candidates(NamedTuple):
@@ -52,10 +73,11 @@ class Candidates(NamedTuple):
 
 
 def gather_candidates(q, rec_dists, data, rank, sparse, cand_dist, cand_len,
-                      cand_count) -> Candidates:
+                      cand_count, sublens: int = SUBLENS) -> Candidates:
     """Assemble the candidate set at site q (cf. packet_enumerator.c:57-74)."""
     n = data.shape[0]
     M = cand_dist.shape[1]
+    SL = sublens
 
     # literal — always legal
     t_lit = jnp.array([P.LIT], jnp.int32)
@@ -79,19 +101,20 @@ def gather_candidates(q, rec_dists, data, rank, sparse, cand_dist, cand_len,
         T.MATCH_LEN_MAX,
     )
     ext4 = jnp.where(in_range, ext4, 0)
-    lens4, keep4 = _sublens(ext4)            # [SUBLENS, 4]
-    t_lrep = jnp.full((SUBLENS, 4), P.LREP, jnp.int32)
-    d_lrep = jnp.broadcast_to(jnp.arange(4, dtype=jnp.int32), (SUBLENS, 4))
+    lens4, keep4 = _sublens(ext4, SL)        # [SL, 4]
+    t_lrep = jnp.full((SL, 4), P.LREP, jnp.int32)
+    d_lrep = jnp.broadcast_to(jnp.arange(4, dtype=jnp.int32), (SL, 4))
     v_lrep = keep4 & (ext4 >= T.MATCH_LEN_MIN)[None, :] & (lens4 <= ext4)
 
     # matches from the Pareto table
     row_d = cand_dist[q]                     # [M]
     row_l = cand_len[q]
     row_valid = jnp.arange(M) < cand_count[q]
-    lensM, keepM = _sublens(row_l)           # [SUBLENS, M]
-    t_m = jnp.full((SUBLENS, M), P.MATCH, jnp.int32)
-    d_m = jnp.broadcast_to(row_d, (SUBLENS, M))
-    v_m = keepM & row_valid[None, :] & (lensM >= T.MATCH_LEN_MIN)
+    lensM, keepM = _sublens(row_l, SL)       # [SL, M]
+    t_m = jnp.full((SL, M), P.MATCH, jnp.int32)
+    d_m = jnp.broadcast_to(row_d, (SL, M))
+    v_m = (keepM & row_valid[None, :] & (lensM >= T.MATCH_LEN_MIN)
+           & (lensM <= row_l[None, :]))
 
     ptype = jnp.concatenate([t_lit, t_srep, t_lrep.ravel(), t_m.ravel()])
     dist = jnp.concatenate([d_lit, d_srep, d_lrep.ravel(), d_m.ravel()])
@@ -136,7 +159,8 @@ def biased_topk_choice(metric, valid, k, key, bias_draws=8,
 
 
 def enumerate_candidates(slab, q, rec_dists, data, rank, sparse,
-                         cand_dist, cand_len, cand_count) -> Candidates:
+                         cand_dist, cand_len, cand_count,
+                         sublens: int = SUBLENS) -> Candidates:
     """Candidate set at the (clipped) site, minus the incumbent packet.
 
     Pure enumeration — no probability reads — so it is cheap on the XLA
@@ -145,7 +169,7 @@ def enumerate_candidates(slab, q, rec_dists, data, rank, sparse,
     qc = jnp.clip(q, 0, n - 1)
     cur_t, cur_d, cur_l, _ = P.unpack(slab[qc])
     cands = gather_candidates(qc, rec_dists, data, rank, sparse, cand_dist,
-                              cand_len, cand_count)
+                              cand_len, cand_count, sublens=sublens)
     same_as_cur = (
         (cands.ptype == cur_t) & (cands.dist == cur_d)
         & (cands.length == cur_l)
@@ -231,12 +255,14 @@ def apply_move(slab, q, rec_dists, cands: Candidates, metric, key, data,
 
 
 def propose(slab, q, rec_ctx, rec_dists, rank_probs, data, rank, sparse,
-            cand_dist, cand_len, cand_count, key, log2, f2p, top_k=20):
+            cand_dist, cand_len, cand_count, key, log2, f2p, top_k=20,
+            sublens=SUBLENS):
     """Generate one mutated slab for the chain (XLA ranking path)."""
     n = data.shape[0]
     qc = jnp.clip(q, 0, n - 1)
     cands = enumerate_candidates(slab, q, rec_dists, data, rank, sparse,
-                                 cand_dist, cand_len, cand_count)
+                                 cand_dist, cand_len, cand_count,
+                                 sublens=sublens)
     byte = data[qc]
     mb = data[jnp.clip(qc - rec_dists[0] - 1, 0, n - 1)]
     metric = rank_candidates(cands, rank_probs, rec_ctx, rec_dists, byte,

@@ -214,7 +214,8 @@ def _bit_length(d):
 def _kernel(slabT_ref, qu_ref, sc_ref, data_ref, dpk_ref, cand_d_ref,
             cand_l_ref, corrw_ref, rtoff_ref, probs_in_ref, carry_in_ref,
             out_slabT_ref, snapP_ref, misc_ref,
-            s_ref, carry_ref, *, n, R, M, CB, TILE, BK, SITE, FB):
+            s_ref, carry_ref, tmp_ref, *, n, R, M, CB, TILE, BK, SITE,
+            FB):
     """Grid = (chain_block, position_tile).  The probability state
     (s_ref) and the 16-row scan carry (carry_ref) persist in VMEM
     scratch across the position tiles of one chain block; tiled inputs
@@ -260,11 +261,7 @@ def _kernel(slabT_ref, qu_ref, sc_ref, data_ref, dpk_ref, cand_d_ref,
     def _():
         out_slabT_ref[:] = slabT_ref[:]
 
-    carry0 = tuple(carry_ref[j:j + 1, :] for j in range(16))
-
-    def body(ii, carry):
-        (ctx, d0, d1, d2, d3, live, hi, lo, since,
-         rctx, rd0, rd1, rd2, rd3, rlive, pord) = carry
+    def body(ii, _):
         i = pt * TILE + ii                                     # global pos
 
         entry = slabT_ref[pl.ds(ii, 1), :].astype(jnp.uint32)  # [1, CB]
@@ -273,252 +270,341 @@ def _kernel(slabT_ref, qu_ref, sc_ref, data_ref, dpk_ref, cand_d_ref,
         # which would alias mpos+1 onto position 0)
         entry = jnp.where(mpos == i, m0,
                           jnp.where(mpos + 1 == i, m1, entry))
-        # data block is BK >= TILE wide (1-D SMEM needs 1024-element
-        # alignment); off0 locates this tile inside its block
-        off0 = (pt * TILE) % BK
-        byte = data_ref[off0 + ii]                            # scalar
-        cdT = jnp.transpose(cand_d_ref[pl.ds(ii, 1), :])      # [M, 1]
-        clT = jnp.transpose(cand_l_ref[pl.ds(ii, 1), :])
+
+        # scan state lives in carry_ref rows (not fori values) so whole
+        # slot groups can be predicated off with pl.when when no lane
+        # needs them — the round-3 op-count lever (VERDICT r2 item 4).
+        ctx = carry_ref[0:1, :]
+        d0 = carry_ref[1:2, :]
+        d1 = carry_ref[2:3, :]
+        d2 = carry_ref[3:4, :]
+        d3 = carry_ref[4:5, :]
+        live = carry_ref[5:6, :]
+        pord = carry_ref[15:16, :]
 
         active = (live == i) & (i < n)
-        # site selection: byte position (u==i) or live-packet ordinal
-        # (reference distribution, packet_slab_neighbour.c:162-163)
-        at_u = (pord == u) & active if SITE == "packet" else u == i
-        rctx = jnp.where(at_u, ctx, rctx)
-        rd0 = jnp.where(at_u, d0, rd0)
-        rd1 = jnp.where(at_u, d1, rd1)
-        rd2 = jnp.where(at_u, d2, rd2)
-        rd3 = jnp.where(at_u, d3, rd3)
-        rlive = jnp.where(at_u, live, rlive)
+        nact = jnp.max(jnp.where(active, 1, 0))
 
-        ptype = ((entry >> P.TYPE_SHIFT) & P.TYPE_MASK).astype(jnp.int32)
-        dist = (entry & P.DIST_MASK).astype(jnp.int32)
-        length = ((entry >> P.LEN_SHIFT) & P.LEN_MASK).astype(jnp.int32)
-
-        # rep0 match byte via packed-word shared gather
-        jpos = jnp.clip(i - d0 - 1, 0, n - 1)
-        word = _shared_lookup_wide(jpos >> 2, dpk, CB)
-        mb = (word >> ((jpos & 3) * 8)) & 255
-
-        # ---- repair rules (semantics of repair_scan._repair_entry) ------
-        srep_ok = (i > 0) & (d0 + 1 <= i) & (mb == byte)
-        count_ok = since < 4
-        ls_type = jnp.where(srep_ok & count_ok, P.SREP,
-                            jnp.where(srep_ok, ptype, P.LIT))
-        valid_cols = []
-        for dj in (d0, d1, d2, d3):
-            hit = jnp.sum(
-                jnp.where((cdT == dj) & (clT >= length), 1, 0),
-                axis=0, keepdims=True)
-            valid_cols.append(jnp.where((hit > 0) & (dj + 1 <= i), 1, 0))
-        cur_idx = jnp.clip(dist, 0, 3)
-        cur_ok = jnp.where(
-            cur_idx == 0, valid_cols[0],
-            jnp.where(cur_idx == 1, valid_cols[1],
-                      jnp.where(cur_idx == 2, valid_cols[2],
-                                valid_cols[3]))) > 0
-        first_valid = jnp.full((1, CB), 3, jnp.int32)
-        for js in (2, 1, 0):
-            first_valid = jnp.where(valid_cols[js] != 0, js, first_valid)
-        any_valid = (valid_cols[0] + valid_cols[1]
-                     + valid_cols[2] + valid_cols[3]) > 0
-        lrep_ok = cur_ok | any_valid
-        lrep_idx = jnp.where(cur_ok, cur_idx, first_valid)
-        fb_type = jnp.where(srep_ok & count_ok, P.SREP, P.LIT)
-
-        is_ls = (ptype == P.LIT) | (ptype == P.SREP)
-        is_lrep0 = ptype == P.LREP
-        if FB == "match":
-            # longest table match at i, smallest distance on ties
-            # (repair_scan._repair_entry semantics, bit-identical)
-            ml = jnp.max(clT, axis=0, keepdims=True)       # [1, 1]
-            bd = jnp.min(jnp.where(clT == ml, cdT, 2**30), axis=0,
-                         keepdims=True)
-            flen = jnp.minimum(ml, n - i)
-            use_m = is_lrep0 & ~lrep_ok & (flen >= 2)
+        # site recording (cheap; byte mode fires on exactly one i per u)
+        if SITE == "packet":
+            at_u = (pord == u) & active
         else:
-            ml = bd = flen = jnp.zeros((1, 1), jnp.int32)
-            use_m = jnp.zeros((1, CB), jnp.bool_)
-        r_type = jnp.where(
-            is_ls, ls_type,
-            jnp.where(is_lrep0,
-                      jnp.where(lrep_ok, P.LREP,
-                                jnp.where(use_m, P.MATCH, fb_type)),
-                      ptype))
-        r_dist = jnp.where(is_lrep0 & lrep_ok, lrep_idx,
-                           jnp.where(use_m, bd,
-                                     jnp.where(is_ls | is_lrep0, 0, dist)))
-        r_len = jnp.where(use_m, flen,
-                          jnp.where(is_lrep0 & ~lrep_ok, 1,
-                                    jnp.where(is_ls, 1, length)))
+            at_u = u == i
 
-        in_repair = active & (i >= q)
-        ptype = jnp.where(in_repair, r_type, ptype)
-        dist = jnp.where(in_repair, r_dist, dist)
-        length = jnp.where(in_repair, r_len, length)
+        @pl.when(jnp.max(jnp.where(at_u, 1, 0)) > 0)
+        def _():
+            carry_ref[9:10, :] = jnp.where(at_u, ctx, carry_ref[9:10, :])
+            carry_ref[10:11, :] = jnp.where(at_u, d0, carry_ref[10:11, :])
+            carry_ref[11:12, :] = jnp.where(at_u, d1, carry_ref[11:12, :])
+            carry_ref[12:13, :] = jnp.where(at_u, d2, carry_ref[12:13, :])
+            carry_ref[13:14, :] = jnp.where(at_u, d3, carry_ref[13:14, :])
+            carry_ref[14:15, :] = jnp.where(at_u, live,
+                                            carry_ref[14:15, :])
 
-        # ---- packet field decomposition ---------------------------------
-        is_lit = ptype == P.LIT
-        is_match = ptype == P.MATCH
-        is_srep = ptype == P.SREP
-        is_lrep = ptype == P.LREP
-        is_rep = is_srep | is_lrep
+        @pl.when(nact == 0)
+        def _():
+            # every lane is inside a match: dead cell, clear live bit
+            out_slabT_ref[pl.ds(ii, 1), :] = (
+                entry & jnp.uint32(~(1 << P.LIVE_SHIFT) & 0xFFFFFFFF))
 
-        cost = jnp.zeros((1, CB), jnp.int32)
+        @pl.when(nact > 0)
+        def _():
+            hi = carry_ref[6:7, :]
+            lo = carry_ref[7:8, :]
+            since = carry_ref[8:9, :]
+            # data block is BK >= TILE wide (1-D SMEM needs 1024-element
+            # alignment); off0 locates this tile inside its block
+            off0 = (pt * TILE) % BK
+            byte = data_ref[off0 + ii]                        # scalar
 
-        # ---- header flag bits (bitplan slots 0..4) -----------------------
-        b3 = is_lrep & (dist != 0)
-        b4 = jnp.where(b3, (dist != 1).astype(jnp.int32),
-                       is_lrep.astype(jnp.int32))
-        b5 = (dist != 2).astype(jnp.int32)
-        cost += _adaptive_bit(s_ref, "ismatch", ctx,
-                              (~is_lit).astype(jnp.int32), active, corrw, CB)
-        cost += _adaptive_bit(s_ref, "isrep", ctx,
-                              is_rep.astype(jnp.int32),
-                              active & ~is_lit, corrw, CB)
-        cost += _adaptive_bit(s_ref, "g0", ctx, b3.astype(jnp.int32),
-                              active & is_rep, corrw, CB)
-        cost += _adaptive_bit(s_ref, "g1r0l",
-                              jnp.where(b3, ctx, 12 + ctx), b4,
-                              active & is_rep, corrw, CB)
-        cost += _adaptive_bit(s_ref, "g2", ctx, b5,
-                              active & is_rep & b3 & (b4 == 1), corrw, CB)
+            ptype0 = ((entry >> P.TYPE_SHIFT)
+                      & P.TYPE_MASK).astype(jnp.int32)
+            dist0 = (entry & P.DIST_MASK).astype(jnp.int32)
+            length0 = ((entry >> P.LEN_SHIFT)
+                       & P.LEN_MASK).astype(jnp.int32)
 
-        # ---- length coder (slots 5..14) ----------------------------------
-        len_active = active & (is_match | is_lrep)
-        len2 = jnp.maximum(length - T.MATCH_LEN_MIN, 0)
-        repc = is_lrep.astype(jnp.int32)
-        c1 = (len2 >= 8).astype(jnp.int32)
-        c2 = (len2 >= 16).astype(jnp.int32)
-        cost += _adaptive_bit(s_ref, "lch", repc, c1, len_active, corrw, CB)
-        cost += _adaptive_bit(s_ref, "lch", 2 + repc, c2,
-                              len_active & (c1 == 1), corrw, CB)
-        nbits = jnp.where(c2 == 1, 8, 3)
-        tval = jnp.where(c1 == 0, len2,
-                         jnp.where(c2 == 0, len2 - 8, len2 - 16))
-        for j in range(8):
-            if j < 3:
-                tsel = jnp.where(c2 == 1, 4 + repc, repc * 2 + c1)
-            else:
-                tsel = repc
-            idx = (tsel << j) + (tval >> jnp.maximum(nbits - j, 0))
-            bit = (tval >> jnp.maximum(nbits - 1 - j, 0)) & 1
-            act = len_active & (j < nbits)
-            cost += _adaptive_bit(s_ref, f"ltree{j}", idx, bit, act,
+            # rep0 match byte via packed-word shared gather (repair
+            # rules + matched-literal context both read it)
+            jpos = jnp.clip(i - d0 - 1, 0, n - 1)
+            word = _shared_lookup_wide(jpos >> 2, dpk, CB)
+            mb = (word >> ((jpos & 3) * 8)) & 255
+
+            in_repair = active & (i >= q)
+            tmp_ref[1:2, :] = ptype0
+            tmp_ref[2:3, :] = dist0
+            tmp_ref[3:4, :] = length0
+
+            @pl.when(jnp.max(jnp.where(in_repair, 1, 0)) > 0)
+            def _():
+                # ---- repair rules (repair_scan._repair_entry) --------
+                cdT = jnp.transpose(cand_d_ref[pl.ds(ii, 1), :])  # [M,1]
+                clT = jnp.transpose(cand_l_ref[pl.ds(ii, 1), :])
+                srep_ok = (i > 0) & (d0 + 1 <= i) & (mb == byte)
+                count_ok = since < 4
+                ls_type = jnp.where(srep_ok & count_ok, P.SREP,
+                                    jnp.where(srep_ok, ptype0, P.LIT))
+                valid_cols = []
+                for dj in (d0, d1, d2, d3):
+                    hit = jnp.sum(
+                        jnp.where((cdT == dj) & (clT >= length0), 1, 0),
+                        axis=0, keepdims=True)
+                    valid_cols.append(
+                        jnp.where((hit > 0) & (dj + 1 <= i), 1, 0))
+                cur_idx = jnp.clip(dist0, 0, 3)
+                cur_ok = jnp.where(
+                    cur_idx == 0, valid_cols[0],
+                    jnp.where(cur_idx == 1, valid_cols[1],
+                              jnp.where(cur_idx == 2, valid_cols[2],
+                                        valid_cols[3]))) > 0
+                first_valid = jnp.full((1, CB), 3, jnp.int32)
+                for js in (2, 1, 0):
+                    first_valid = jnp.where(valid_cols[js] != 0, js,
+                                            first_valid)
+                any_valid = (valid_cols[0] + valid_cols[1]
+                             + valid_cols[2] + valid_cols[3]) > 0
+                lrep_ok = cur_ok | any_valid
+                lrep_idx = jnp.where(cur_ok, cur_idx, first_valid)
+                fb_type = jnp.where(srep_ok & count_ok, P.SREP, P.LIT)
+
+                is_ls = (ptype0 == P.LIT) | (ptype0 == P.SREP)
+                is_lrep0 = ptype0 == P.LREP
+                if FB == "match":
+                    # longest table match at i, smallest distance on
+                    # ties (repair_scan semantics, bit-identical)
+                    ml = jnp.max(clT, axis=0, keepdims=True)   # [1, 1]
+                    bd = jnp.min(jnp.where(clT == ml, cdT, 2**30),
+                                 axis=0, keepdims=True)
+                    flen = jnp.minimum(ml, n - i)
+                    use_m = is_lrep0 & ~lrep_ok & (flen >= 2)
+                else:
+                    bd = flen = jnp.zeros((1, 1), jnp.int32)
+                    use_m = jnp.zeros((1, CB), jnp.bool_)
+                r_type = jnp.where(
+                    is_ls, ls_type,
+                    jnp.where(is_lrep0,
+                              jnp.where(lrep_ok, P.LREP,
+                                        jnp.where(use_m, P.MATCH,
+                                                  fb_type)),
+                              ptype0))
+                r_dist = jnp.where(
+                    is_lrep0 & lrep_ok, lrep_idx,
+                    jnp.where(use_m, bd,
+                              jnp.where(is_ls | is_lrep0, 0, dist0)))
+                r_len = jnp.where(use_m, flen,
+                                  jnp.where(is_lrep0 & ~lrep_ok, 1,
+                                            jnp.where(is_ls, 1,
+                                                      length0)))
+                tmp_ref[1:2, :] = jnp.where(in_repair, r_type, ptype0)
+                tmp_ref[2:3, :] = jnp.where(in_repair, r_dist, dist0)
+                tmp_ref[3:4, :] = jnp.where(in_repair, r_len, length0)
+
+            ptype = tmp_ref[1:2, :]
+            dist = tmp_ref[2:3, :]
+            length = tmp_ref[3:4, :]
+
+            # ---- packet field decomposition -------------------------
+            is_lit = ptype == P.LIT
+            is_match = ptype == P.MATCH
+            is_srep = ptype == P.SREP
+            is_lrep = ptype == P.LREP
+            is_rep = is_srep | is_lrep
+
+            # ---- header flag bits (bitplan slots 0..4) ---------------
+            b3 = is_lrep & (dist != 0)
+            b4 = jnp.where(b3, (dist != 1).astype(jnp.int32),
+                           is_lrep.astype(jnp.int32))
+            b5 = (dist != 2).astype(jnp.int32)
+            cost = _adaptive_bit(s_ref, "ismatch", ctx,
+                                 (~is_lit).astype(jnp.int32), active,
+                                 corrw, CB)
+            cost += _adaptive_bit(s_ref, "isrep", ctx,
+                                  is_rep.astype(jnp.int32),
+                                  active & ~is_lit, corrw, CB)
+            tmp_ref[0:1, :] = cost
+
+            rep_any = jnp.max(jnp.where(active & is_rep, 1, 0)) > 0
+
+            @pl.when(rep_any)
+            def _():
+                c = _adaptive_bit(s_ref, "g0", ctx,
+                                  b3.astype(jnp.int32),
+                                  active & is_rep, corrw, CB)
+                c += _adaptive_bit(s_ref, "g1r0l",
+                                   jnp.where(b3, ctx, 12 + ctx), b4,
+                                   active & is_rep, corrw, CB)
+                c += _adaptive_bit(s_ref, "g2", ctx, b5,
+                                   active & is_rep & b3 & (b4 == 1),
+                                   corrw, CB)
+                tmp_ref[0:1, :] = tmp_ref[0:1, :] + c
+
+            # ---- length coder (slots 5..14) --------------------------
+            len_active = active & (is_match | is_lrep)
+            len2 = jnp.maximum(length - T.MATCH_LEN_MIN, 0)
+            repc = is_lrep.astype(jnp.int32)
+            c1 = (len2 >= 8).astype(jnp.int32)
+            c2 = (len2 >= 16).astype(jnp.int32)
+
+            @pl.when(jnp.max(jnp.where(len_active, 1, 0)) > 0)
+            def _():
+                c = _adaptive_bit(s_ref, "lch", repc, c1, len_active,
                                   corrw, CB)
+                c += _adaptive_bit(s_ref, "lch", 2 + repc, c2,
+                                   len_active & (c1 == 1), corrw, CB)
+                nbits = jnp.where(c2 == 1, 8, 3)
+                tval = jnp.where(c1 == 0, len2,
+                                 jnp.where(c2 == 0, len2 - 8,
+                                           len2 - 16))
+                for j in range(3):
+                    tsel = jnp.where(c2 == 1, 4 + repc, repc * 2 + c1)
+                    idx = (tsel << j) + (tval >> jnp.maximum(nbits - j,
+                                                             0))
+                    bit = (tval >> jnp.maximum(nbits - 1 - j, 0)) & 1
+                    act = len_active & (j < nbits)
+                    c += _adaptive_bit(s_ref, f"ltree{j}", idx, bit,
+                                       act, corrw, CB)
+                tmp_ref[0:1, :] = tmp_ref[0:1, :] + c
 
-        # ---- literal bits (8 scalar-row slots) ---------------------------
-        lit_active = active & is_lit
-        L0 = ROW["lit"]
-        prefix_eq = jnp.ones((1, CB), jnp.int32)
-        ctx_ge7 = ctx >= 7
-        for j in range(8):
-            sym = (1 << j) | (byte >> (8 - j))                # scalar
-            lbit = (byte >> (7 - j)) & 1                      # scalar
-            mbit = (mb >> (7 - j)) & 1                        # [1, CB]
-            matched = ctx_ge7 & (prefix_eq == 1)
-            sel = jnp.where(matched, 1 + mbit, 0)
-            r0 = s_ref[pl.ds(L0 + sym, 1), :]
-            r1 = s_ref[pl.ds(L0 + 256 + sym, 1), :]
-            r2 = s_ref[pl.ds(L0 + 512 + sym, 1), :]
-            p = jnp.where(sel == 0, r0, jnp.where(sel == 1, r1, r2))
-            c, adapted = _cost_adapt(p, lbit, lit_active, corrw, CB)
-            cost += c
-            s_ref[pl.ds(L0 + sym, 1), :] = jnp.where(
-                (sel == 0) & lit_active, adapted, r0)
-            s_ref[pl.ds(L0 + 256 + sym, 1), :] = jnp.where(
-                (sel == 1) & lit_active, adapted, r1)
-            s_ref[pl.ds(L0 + 512 + sym, 1), :] = jnp.where(
-                (sel == 2) & lit_active, adapted, r2)
-            prefix_eq = prefix_eq * (mbit == lbit).astype(jnp.int32)
+                # deep levels: only len >= 18 packets (c2) reach them
+                @pl.when(jnp.max(jnp.where(len_active & (c2 == 1),
+                                           1, 0)) > 0)
+                def _():
+                    cd_ = jnp.zeros((1, CB), jnp.int32)
+                    for j in range(3, 8):
+                        idx = (repc << j) + (tval >> jnp.maximum(
+                            nbits - j, 0))
+                        bit = (tval >> jnp.maximum(nbits - 1 - j,
+                                                   0)) & 1
+                        act = len_active & (j < nbits)
+                        cd_ += _adaptive_bit(s_ref, f"ltree{j}", idx,
+                                             bit, act, corrw, CB)
+                    tmp_ref[0:1, :] = tmp_ref[0:1, :] + cd_
 
-        # ---- distance coder (slots 15..25 + direct bits) -----------------
-        act_d = active & is_match
-        bl = _bit_length(dist)
-        nlb_t = jnp.maximum(bl - 2, 0)
-        high = dist >> nlb_t
-        ps = jnp.where(dist < 4, dist, nlb_t * 2 + high)
-        len_ctx = jnp.minimum(len2, 3)
-        for j in range(6):
-            idx = (len_ctx << j) + (ps >> (6 - j))
-            bit = (ps >> (5 - j)) & 1
-            cost += _adaptive_bit(s_ref, f"dst{j}", idx, bit, act_d,
-                                  corrw, CB)
-        midrange = (ps >= 4) & (ps < 14)
-        nlb = jnp.where(midrange, (ps >> 1) - 1, 4)
-        low = dist & ((1 << nlb) - 1)
-        tid = jnp.where(midrange, ps - 4, 10)
-        act_rt = act_d & (ps >= 4)
-        rev = jnp.zeros((1, CB), jnp.int32)
-        for t in range(5):
-            off = _shared_lookup(16 * t + tid, rtoff, CB)
-            idx = off + rev
-            bit = (low >> t) & 1
-            cost += _adaptive_bit(s_ref, f"rt{t}", idx, bit,
-                                  act_rt & (t < nlb), corrw, CB)
-            rev = (rev << 1) | bit
-        n_direct = jnp.where(act_d & (ps >= 14), nlb_t - 4, 0)
-        cost += n_direct << T.PROB_BITS
+            # ---- literal bits (8 scalar-row slots) -------------------
+            lit_active = active & is_lit
 
-        lo = lo + cost
-        hi = hi + (lo >> 16)
-        lo = lo & 0xFFFF
+            @pl.when(jnp.max(jnp.where(lit_active, 1, 0)) > 0)
+            def _():
+                L0 = ROW["lit"]
+                prefix_eq = jnp.ones((1, CB), jnp.int32)
+                ctx_ge7 = ctx >= 7
+                c = jnp.zeros((1, CB), jnp.int32)
+                for j in range(8):
+                    sym = (1 << j) | (byte >> (8 - j))        # scalar
+                    lbit = (byte >> (7 - j)) & 1              # scalar
+                    mbit = (mb >> (7 - j)) & 1                # [1, CB]
+                    matched = ctx_ge7 & (prefix_eq == 1)
+                    sel = jnp.where(matched, 1 + mbit, 0)
+                    r0 = s_ref[pl.ds(L0 + sym, 1), :]
+                    r1 = s_ref[pl.ds(L0 + 256 + sym, 1), :]
+                    r2 = s_ref[pl.ds(L0 + 512 + sym, 1), :]
+                    p = jnp.where(sel == 0, r0,
+                                  jnp.where(sel == 1, r1, r2))
+                    cj, adapted = _cost_adapt(p, lbit, lit_active,
+                                              corrw, CB)
+                    c += cj
+                    s_ref[pl.ds(L0 + sym, 1), :] = jnp.where(
+                        (sel == 0) & lit_active, adapted, r0)
+                    s_ref[pl.ds(L0 + 256 + sym, 1), :] = jnp.where(
+                        (sel == 1) & lit_active, adapted, r1)
+                    s_ref[pl.ds(L0 + 512 + sym, 1), :] = jnp.where(
+                        (sel == 2) & lit_active, adapted, r2)
+                    prefix_eq = prefix_eq * (mbit == lbit).astype(
+                        jnp.int32)
+                tmp_ref[0:1, :] = tmp_ref[0:1, :] + c
 
-        # ---- state transitions (models/lzma_state.py) --------------------
-        lit_n = jnp.where(ctx < 4, 0, jnp.where(ctx < 10, ctx - 3, ctx - 6))
-        mat_n = jnp.where(ctx < 7, 7, 10)
-        sr_n = jnp.where(ctx < 7, 9, 11)
-        lr_n = jnp.where(ctx < 7, 8, 11)
-        ctx_n = jnp.where(is_lit, lit_n,
-                          jnp.where(is_match, mat_n,
-                                    jnp.where(is_srep, sr_n, lr_n)))
-        ctx = jnp.where(active, ctx_n, ctx)
+            # ---- distance coder (slots 15..25 + direct bits) ---------
+            act_d = active & is_match
 
-        dk = jnp.where(dist == 0, d0,
-                       jnp.where(dist == 1, d1,
-                                 jnp.where(dist == 2, d2, d3)))
-        upd = active & (is_match | is_lrep)
-        new0 = jnp.where(is_match, dist, dk)
-        nd0 = jnp.where(upd, new0, d0)
-        nd1 = jnp.where(upd, jnp.where(is_match | (dist >= 1), d0, d1), d1)
-        nd2 = jnp.where(upd, jnp.where(is_match | (dist >= 2), d1, d2), d2)
-        nd3 = jnp.where(upd, jnp.where(is_match | (dist >= 3), d2, d3), d3)
-        d0, d1, d2, d3 = nd0, nd1, nd2, nd3
+            @pl.when(jnp.max(jnp.where(act_d, 1, 0)) > 0)
+            def _():
+                bl = _bit_length(dist)
+                nlb_t = jnp.maximum(bl - 2, 0)
+                high = dist >> nlb_t
+                ps = jnp.where(dist < 4, dist, nlb_t * 2 + high)
+                len_ctx = jnp.minimum(len2, 3)
+                c = jnp.zeros((1, CB), jnp.int32)
+                for j in range(6):
+                    idx = (len_ctx << j) + (ps >> (6 - j))
+                    bit = (ps >> (5 - j)) & 1
+                    c += _adaptive_bit(s_ref, f"dst{j}", idx, bit,
+                                       act_d, corrw, CB)
+                midrange = (ps >= 4) & (ps < 14)
+                nlb = jnp.where(midrange, (ps >> 1) - 1, 4)
+                low = dist & ((1 << nlb) - 1)
+                tid = jnp.where(midrange, ps - 4, 10)
+                act_rt = act_d & (ps >= 4)
+                rev = jnp.zeros((1, CB), jnp.int32)
+                for t in range(5):
+                    off = _shared_lookup(16 * t + tid, rtoff, CB)
+                    idx = off + rev
+                    bit = (low >> t) & 1
+                    c += _adaptive_bit(s_ref, f"rt{t}", idx, bit,
+                                       act_rt & (t < nlb), corrw, CB)
+                    rev = (rev << 1) | bit
+                n_direct = jnp.where(act_d & (ps >= 14), nlb_t - 4, 0)
+                c += n_direct << T.PROB_BITS
+                tmp_ref[0:1, :] = tmp_ref[0:1, :] + c
 
-        out_entry = jnp.where(
-            active,
-            (dist.astype(jnp.uint32) & P.DIST_MASK)
-            | ((length.astype(jnp.uint32) & P.LEN_MASK) << P.LEN_SHIFT)
-            | ((ptype.astype(jnp.uint32) & P.TYPE_MASK) << P.TYPE_SHIFT)
-            | jnp.uint32(1 << P.LIVE_SHIFT),
-            entry & jnp.uint32(~(1 << P.LIVE_SHIFT) & 0xFFFFFFFF))
-        out_slabT_ref[pl.ds(ii, 1), :] = out_entry
+            cost = tmp_ref[0:1, :]
+            lo2 = lo + cost
+            hi2 = hi + (lo2 >> 16)
+            lo2 = lo2 & 0xFFFF
+            carry_ref[6:7, :] = hi2
+            carry_ref[7:8, :] = lo2
 
-        live = live + jnp.where(active, length, 0)
-        since = since + jnp.where(in_repair, 1, 0)
-        pord = pord + jnp.where(active, 1, 0)
-        return (ctx, d0, d1, d2, d3, live, hi, lo, since,
-                rctx, rd0, rd1, rd2, rd3, rlive, pord)
+            # ---- state transitions (models/lzma_state.py) ------------
+            lit_n = jnp.where(ctx < 4, 0,
+                              jnp.where(ctx < 10, ctx - 3, ctx - 6))
+            mat_n = jnp.where(ctx < 7, 7, 10)
+            sr_n = jnp.where(ctx < 7, 9, 11)
+            lr_n = jnp.where(ctx < 7, 8, 11)
+            ctx_n = jnp.where(is_lit, lit_n,
+                              jnp.where(is_match, mat_n,
+                                        jnp.where(is_srep, sr_n, lr_n)))
+            carry_ref[0:1, :] = jnp.where(active, ctx_n, ctx)
+
+            dk = jnp.where(dist == 0, d0,
+                           jnp.where(dist == 1, d1,
+                                     jnp.where(dist == 2, d2, d3)))
+            upd = active & (is_match | is_lrep)
+            new0 = jnp.where(is_match, dist, dk)
+            carry_ref[1:2, :] = jnp.where(upd, new0, d0)
+            carry_ref[2:3, :] = jnp.where(
+                upd, jnp.where(is_match | (dist >= 1), d0, d1), d1)
+            carry_ref[3:4, :] = jnp.where(
+                upd, jnp.where(is_match | (dist >= 2), d1, d2), d2)
+            carry_ref[4:5, :] = jnp.where(
+                upd, jnp.where(is_match | (dist >= 3), d2, d3), d3)
+
+            out_entry = jnp.where(
+                active,
+                (dist.astype(jnp.uint32) & P.DIST_MASK)
+                | ((length.astype(jnp.uint32) & P.LEN_MASK)
+                   << P.LEN_SHIFT)
+                | ((ptype.astype(jnp.uint32) & P.TYPE_MASK)
+                   << P.TYPE_SHIFT)
+                | jnp.uint32(1 << P.LIVE_SHIFT),
+                entry & jnp.uint32(~(1 << P.LIVE_SHIFT) & 0xFFFFFFFF))
+            out_slabT_ref[pl.ds(ii, 1), :] = out_entry
+
+            carry_ref[5:6, :] = live + jnp.where(active, length, 0)
+            carry_ref[8:9, :] = since + jnp.where(in_repair, 1, 0)
+            carry_ref[15:16, :] = pord + jnp.where(active, 1, 0)
+
+        return 0
 
     @pl.when(pt >= start_tile)
     def _():
-        final = jax.lax.fori_loop(0, TILE, body, carry0)
-        for j, v in enumerate(final):
-            carry_ref[j:j + 1, :] = v
+        jax.lax.fori_loop(0, TILE, body, 0)
 
         @pl.when(pt == n_tiles - 1)
         def _():
-            (ctx, d0, d1, d2, d3, live, hi, lo, since,
-             rctx, rd0, rd1, rd2, rd3, rlive, pord) = final
-            misc_ref[0:1, :] = hi
-            misc_ref[1:2, :] = lo
-            misc_ref[2:3, :] = rctx
-            misc_ref[3:4, :] = rlive
-            misc_ref[4:5, :] = rd0
-            misc_ref[5:6, :] = rd1
-            misc_ref[6:7, :] = rd2
-            misc_ref[7:8, :] = rd3
-            misc_ref[8:9, :] = pord
+            misc_ref[0:1, :] = carry_ref[6:7, :]       # hi
+            misc_ref[1:2, :] = carry_ref[7:8, :]       # lo
+            misc_ref[2:3, :] = carry_ref[9:10, :]      # rctx
+            misc_ref[3:4, :] = carry_ref[14:15, :]     # rlive
+            misc_ref[4:8, :] = carry_ref[10:14, :]     # rd0..rd3
+            misc_ref[8:9, :] = carry_ref[15:16, :]     # pord
             misc_ref[9:16, :] = jnp.zeros((7, CB), jnp.int32)
 
             @pl.when(cap_tile >= n_tiles)
@@ -671,7 +757,8 @@ def repair_cost_pallas2(slabs, q, u, data, data_packed, cand_dist, cand_len,
             jax.ShapeDtypeStruct((32, C), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((PACKED_ROWS, cb), jnp.int32),
-                        pltpu.VMEM((16, cb), jnp.int32)],
+                        pltpu.VMEM((16, cb), jnp.int32),
+                        pltpu.VMEM((8, cb), jnp.int32)],
         interpret=interpret,
     )(slabT, qu, sc, data1d, dpkR, cd, cl, corr, rtoff,
       jnp.transpose(probs_in), jnp.transpose(carry_in))

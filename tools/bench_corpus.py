@@ -85,14 +85,14 @@ def run_reference(data: bytes):
         os.unlink(path)
 
 
-def run_ours(data: bytes, moves: int, chains: int):
+def run_ours(data: bytes, moves: int, chains: int, overrides=None):
     from megalania_tpu import compressor
     from megalania_tpu.anneal.config import AnnealConfig
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     cb = chains if chains % 128 == 0 else 128
-    cfg = AnnealConfig(chains=chains, chain_block=cb)
+    cfg = AnnealConfig(chains=chains, chain_block=cb, **(overrides or {}))
     # warm the compile outside the timed window (same shapes)
     compressor.compress(data, cfg, total_moves=chains)
     t0 = time.time()
@@ -123,12 +123,23 @@ def main():
     ap.add_argument("--budget-scale", type=float, default=1.0,
                     help="fraction of the reference budget to run")
     ap.add_argument("--out", default="BENCH_CORPUS.json")
+    ap.add_argument("--sublens", type=int, default=3)
+    ap.add_argument("--site-schedule", default="sweep")
+    ap.add_argument("--sweep-repeats", type=int, default=4)
+    ap.add_argument("--lrep-fallback", default="litsrep")
+    ap.add_argument("--site-mode", default="byte")
+    ap.add_argument("--proposals", type=int, default=1)
     args = ap.parse_args()
+    overrides = dict(sublens=args.sublens, site_schedule=args.site_schedule,
+                     sweep_repeats=args.sweep_repeats,
+                     lrep_fallback=args.lrep_fallback,
+                     site_mode=args.site_mode, proposals=args.proposals)
     sizes = [int(s) for s in args.sizes.split(",")]
 
     have_ref = (not args.skip_ref) and ensure_ref()
     report = {"sizes": sizes, "chains": args.chains,
-              "budget_scale": args.budget_scale, "rows": []}
+              "budget_scale": args.budget_scale,
+              "overrides": overrides, "rows": []}
     for name, path in CORPUS:
         path = path or find_binary()
         raw = open(path, "rb").read()
@@ -141,7 +152,7 @@ def main():
             row["xz9e"] = run_xz(data)
             if have_ref and args.budget_scale == 1.0:
                 row["reference"] = run_reference(data)
-            row["ours"] = run_ours(data, budget, args.chains)
+            row["ours"] = run_ours(data, budget, args.chains, overrides)
             report["rows"].append(row)
             print(json.dumps(row), flush=True)
     with open(args.out, "w") as f:
