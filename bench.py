@@ -46,8 +46,12 @@ def main():
     ctx = engine.make_context(data, cfg)
     state = engine.init_state(ctx, cfg)
 
-    # warm up with the SAME program shape as the timed run (one compile)
-    iters = int(os.environ.get("BENCH_ITERS", "64"))
+    # warm up with the SAME program shape as the timed run (one compile).
+    # 512 iterations measure the sustained steady-state rate: the sweep
+    # schedule's partial re-cost and the converged parse shape both need
+    # a few epochs to reach their operating point, and a real run is
+    # 600n moves — the first few hundred iterations are noise there.
+    iters = int(os.environ.get("BENCH_ITERS", "512"))
     state = engine.run_iters(state, ctx, cfg, iters)
     jax.block_until_ready(state)
 

@@ -110,7 +110,7 @@ def _repair_cost(state_slabs, q, u, ctx: BlockContext, cfg: AnnealConfig,
     assert mut0 is None or kernel == "pallas2"
     n = ctx.data.shape[0]
     if kernel == "pallas2":
-        tile = pallas_repair2.choose_tile(n)
+        tile = pallas_repair2.choose_tile(n, cfg.chain_block)
         return pallas_repair2.repair_cost_pallas2(
             state_slabs, q, u, ctx.data, ctx.data_packed, ctx.cand_dist,
             ctx.cand_len, ctx.corr, cb=cfg.chain_block,
@@ -307,7 +307,7 @@ def _chains_iter(state: AnnealState, ctx: BlockContext, step,
     skey_next, k_su = sk[0], sk[1]
 
     if sched == "sweep":
-        tile = pallas_repair2.choose_tile(n)
+        tile = pallas_repair2.choose_tile(n, cfg.chain_block)
         j = state.sweep_j                # pass counter within the sweep
         fresh_sweep = j == 0
         # start at the held snapshot (fresh init state at sweep start)
@@ -463,7 +463,7 @@ def anneal_iteration(state: AnnealState, ctx: BlockContext,
     # resets to the fresh full-walk stratum 0 (the reseeded slab
     # invalidates the snapshot)
     if sched == "sweep":
-        tile = pallas_repair2.choose_tile(n)
+        tile = pallas_repair2.choose_tile(n, cfg.chain_block)
         n_tiles = -(-n // tile)
         sweep_len = n_tiles * cfg.sweep_repeats
         j_next = state.sweep_j + 1

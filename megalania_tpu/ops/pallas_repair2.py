@@ -595,7 +595,34 @@ def _kernel(slabT_ref, qu_ref, sc_ref, data_ref, dpk_ref, cand_d_ref,
 
     @pl.when(pt >= start_tile)
     def _():
-        jax.lax.fori_loop(0, TILE, body, 0)
+        # dead-tile fast path: every lane's next live packet is past
+        # this tile, so no position does any coder work — emit the tile
+        # as dead cells in one vector op and skip the position loop.
+        # (live/hi/lo/since/pord are all unchanged through a dead tile;
+        # byte-mode recording copies the constant state if u lands here.)
+        t_end = (pt + 1) * TILE
+        dead = jnp.min(carry_ref[5:6, :]) >= t_end
+
+        @pl.when(dead)
+        def _():
+            gi = (jax.lax.broadcasted_iota(jnp.int32, (TILE, CB), 0)
+                  + pt * TILE)
+            ent = slabT_ref[:].astype(jnp.uint32)
+            ent = jnp.where(gi == mpos, m0,
+                            jnp.where(gi == mpos + 1, m1, ent))
+            out_slabT_ref[:] = ent & jnp.uint32(
+                ~(1 << P.LIVE_SHIFT) & 0xFFFFFFFF)
+            if SITE != "packet":          # packet recording needs a
+                in_t = (u >= pt * TILE) & (u < t_end)  # live packet
+                for src, dst in ((0, 9), (1, 10), (2, 11), (3, 12),
+                                 (4, 13), (5, 14)):
+                    carry_ref[dst:dst + 1, :] = jnp.where(
+                        in_t, carry_ref[src:src + 1, :],
+                        carry_ref[dst:dst + 1, :])
+
+        @pl.when(~dead)
+        def _():
+            jax.lax.fori_loop(0, TILE, body, 0)
 
         @pl.when(pt == n_tiles - 1)
         def _():
@@ -618,14 +645,27 @@ def _kernel(slabT_ref, qu_ref, sc_ref, data_ref, dpk_ref, cand_d_ref,
 MAX_TILE = 2048          # positions per grid step (VMEM budget, see below)
 
 
-def choose_tile(n: int) -> int:
+def choose_tile(n: int, cb: int = 128) -> int:
     """Positions per grid step.  Small tiles give the partial-re-cost
     sweep finer start granularity (skipped prefix rounds down to a tile
     boundary); large tiles amortize per-grid-step overhead.  Targets
-    ~8-32 tiles per block, capped by the VMEM budget (MAX_TILE)."""
+    ~8-32 tiles per block, capped by the VMEM budget: 3 probability
+    buffers (in/out/scratch) are fixed cost, slab+candidate tile buffers
+    scale with the tile size.
+
+    Correctness does not require the engine's schedule tile to equal the
+    kernel's: capture/start positions floor to the kernel tile
+    consistently across passes (both sides of the snapshot use the same
+    division), and flooring only moves them earlier, which is always
+    valid."""
+    budget = 14 << 20
+    probs = 3 * PACKED_ROWS * cb * 4
     t = 256
-    while t * 16 < n:
-        t *= 2
+    while t < MAX_TILE and t * 16 < n:
+        t2 = t * 2
+        if probs + t2 * 16 * (cb + 16) > budget:
+            break
+        t = t2
     return max(1, min(t, MAX_TILE, n))
 
 
@@ -670,7 +710,7 @@ def repair_cost_pallas2(slabs, q, u, data, data_packed, cand_dist, cand_len,
         assert cb % 128 == 0, f"v2 kernel needs cb%128==0 on TPU, got {cb}"
     grid = C // cb
 
-    tile = choose_tile(n)
+    tile = choose_tile(n, cb)
     n_tiles = -(-n // tile)
     n_pad = n_tiles * tile
 

@@ -307,3 +307,35 @@ def test_engine_sweep_deterministic(ctx):
     assert int(s1.best_lo) == int(s2.best_lo)
     np.testing.assert_array_equal(np.asarray(s1.best_slab),
                                   np.asarray(s2.best_slab))
+
+
+def test_dead_tile_fast_path_parity(ctx, rng, monkeypatch):
+    """A tile fully covered by matches in EVERY chain takes the kernel's
+    vectorized dead-tile path; results must stay bit-identical to the
+    golden scan — including a mutation cell and a recording site landing
+    inside the dead tile."""
+    monkeypatch.setattr(pallas_repair2, "MAX_TILE", 64)
+    n = ctx.data.shape[0]
+    assert pallas_repair2.choose_tile(n, C) == 64
+    fn = pallas_repair2.repair_cost_pallas2.__wrapped__
+    corr = jnp.asarray(pallas_repair2.log2_correction(interpret=True))
+
+    # a long match starting before tile 1 covers positions 64..128 in
+    # every chain -> tile 1 is dead for all lanes
+    base = np.asarray(P.literal_slab(n)).copy()
+    slabs = np.broadcast_to(base, (C, n)).copy()
+    # a MATCH packet passes the repair rules unchanged, so any
+    # (dist, len) works for costing parity — both sides cost this slab
+    start, L = 60, 70
+    slabs[:, start] = P.pack_np(P.MATCH, 7, L)
+    slabs = jnp.asarray(slabs)
+    q = jnp.full(C, 40, jnp.int32)          # repair from before the match
+    u = jnp.full(C, 90, jnp.int32)          # recording site inside tile 1
+    got = list(fn(slabs, q, u, ctx.data, ctx.data_packed, ctx.cand_dist,
+                  ctx.cand_len, corr, cb=C, interpret=True))
+    from megalania_tpu.ops import problayout as PL
+    got[3] = PL.flat_from_packed(got[3])
+    want = repair_scan.repair_cost_batched(
+        slabs, q, u, ctx.data, ctx.cand_dist, ctx.cand_len, ctx.log2)
+    _check(got, want)
+    assert int(np.asarray(want[6])[0]) in range(64, 131)  # rec_live sane

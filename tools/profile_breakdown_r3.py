@@ -20,15 +20,18 @@ from megalania_tpu.anneal.config import AnnealConfig
 from megalania_tpu.models import packets as P
 from megalania_tpu.ops import pallas_repair2 as PR2, pallas_rank
 
-N, C = 2048, 512
+import os
+N = int(os.environ.get("PN", "2048")); C = int(os.environ.get("PC", "512"))
 repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-data = open(_os.path.join(repo, "SURVEY.md"), "rb").read()[:N]
-cfg = AnnealConfig(chains=C, chain_block=512)
+raw = open(_os.path.join(repo, "SURVEY.md"), "rb").read()
+data = (raw * (N // len(raw) + 1))[:N]
+CB = int(os.environ.get("PCB", "512"))
+cfg = AnnealConfig(chains=C, chain_block=CB)
 ctx = engine.make_context(data, cfg)
 state = engine.init_state(ctx, cfg)
 ch = state.chains
 corr = ctx.corr
-tile = PR2.choose_tile(N)
+tile = PR2.choose_tile(N, CB)
 n_tiles = -(-N // tile)
 
 def timeit(name, f, iters=30):
@@ -47,16 +50,16 @@ u = jnp.full(C, 1024, jnp.int32)
 
 f_full = jax.jit(lambda s: PR2.repair_cost_pallas2(
     s, q, u, ctx.data, ctx.data_packed, ctx.cand_dist, ctx.cand_len,
-    corr, cb=512))
+    corr, cb=CB))
 timeit("repair full walk (8 tiles)", lambda: f_full(ch.slab))
 
-for st in (2, 4, 6):
+for st in (n_tiles // 4, n_tiles // 2, 3 * n_tiles // 4):
     fp_ = jax.jit(lambda s, stt=st: PR2.repair_cost_pallas2(
         s, jnp.full(C, stt * tile, jnp.int32), u, ctx.data,
-        ctx.data_packed, ctx.cand_dist, ctx.cand_len, corr, cb=512,
+        ctx.data_packed, ctx.cand_dist, ctx.cand_len, corr, cb=CB,
         start_tile=jnp.int32(stt), cap_tile=jnp.int32(stt),
         probs_in=ch.rank_probs, carry_in=ch.snap_carry))
-    timeit(f"repair start tile {st}/8", lambda: fp_(ch.slab))
+    timeit(f"repair start tile {st}/{n_tiles}", lambda: fp_(ch.slab))
 
 # rank kernel
 cands = jax.vmap(
@@ -68,7 +71,7 @@ candp = P.pack(cands.ptype, cands.dist, cands.length,
 mb = ctx.data[jnp.clip(q - ch.rec_dists[:, 0] - 1, 0, N - 1)]
 f_rank = jax.jit(lambda rp: pallas_rank.rank_pallas(
     rp, candp, ch.rec_ctx, ch.rec_dists, ctx.data[q], mb,
-    ctx.log2, ctx.f2p, corr, cb=512))
+    ctx.log2, ctx.f2p, corr, cb=CB))
 print("NC =", candp.shape[1])
 timeit("rank kernel", lambda: f_rank(ch.rank_probs))
 
