@@ -295,7 +295,7 @@ def _chains_iter(state: AnnealState, ctx: BlockContext, step,
     every chain's mutation site, so the cost stays exact) and records /
     captures at a shared, tile-stratified low-to-high site.
 
-    Returns (ChainState, skey_next, u_shared, cap_pos)."""
+    Returns (ChainState, skey_next, stratum_base, cap_pos)."""
     chains = state.chains
     n = ctx.data.shape[0]
     Cn = chains.slab.shape[0]
@@ -314,14 +314,14 @@ def _chains_iter(state: AnnealState, ctx: BlockContext, step,
         start_pos = jnp.where(fresh_sweep, 0, state.snap_pos)
         stratum = jnp.minimum((j // cfg.sweep_repeats) * tile, n - 1)
         width = jnp.maximum(jnp.minimum(tile, n - stratum), 1)
-        u_shared = stratum + jax.random.randint(k_su, (), 0, width)
+        u_min = stratum                   # lower bound for the capture
         probs_c = jnp.where(fresh_sweep, jnp.int32(T.PROB_INIT),
                             chains.rank_probs)
         carry_c = jnp.where(fresh_sweep, jnp.int32(0), chains.snap_carry)
         q_floor = start_pos
     else:
         start_pos = None                 # full walk
-        u_shared = jnp.int32(0)
+        u_min = jnp.int32(0)
         probs_c = carry_c = None
         carry16 = jnp.zeros((Cn, 16), jnp.int32)
         q_floor = jnp.int32(0)
@@ -336,9 +336,9 @@ def _chains_iter(state: AnnealState, ctx: BlockContext, step,
     if sched == "sweep":
         # capture at the highest tile boundary valid for EVERY chain:
         # <= every mutation site q this pass (so the snapshot holds for
-        # accepted and rejected slabs alike) and <= this pass's
+        # accepted and rejected slabs alike) and <= every chain's
         # recording site u (the next pass mutates at rec_live(u) >= u)
-        cap_pos = jnp.minimum(jnp.min(q), u_shared) // tile * tile
+        cap_pos = jnp.minimum(jnp.min(q), u_min) // tile * tile
         cap_pos = jnp.maximum(cap_pos, start_pos)
     else:
         cap_pos = None                   # capture the final state
@@ -364,7 +364,12 @@ def _chains_iter(state: AnnealState, ctx: BlockContext, step,
     slab_prop, mut0, mut1 = _propose(slab_in, q_in, rctx_in, rdists_in,
                                      probs_in, k_prop, ctx, cfg)
     if sched == "sweep":
-        u = jnp.full(slab_in.shape[:1], u_shared, jnp.int32)
+        # every row draws its OWN site inside the shared stratum: the
+        # tile-skip only needs the sites' tile to be known, and
+        # independent sites keep the chains decorrelated (a shared site
+        # measurably cost ~1% ratio at matched budget)
+        u = stratum + jax.vmap(
+            lambda k: jax.random.randint(k, (), 0, width))(k_u)
     elif cfg.site_mode == "packet":
         hi_u = jnp.maximum(lc_in, 1)
         u = jax.vmap(lambda k, h: jax.random.randint(k, (), 0, h))(
@@ -412,7 +417,8 @@ def _chains_iter(state: AnnealState, ctx: BlockContext, step,
         key=key_next, snap_carry=snapc,
     )
     cap_out = cap_pos if cap_pos is not None else jnp.int32(0)
-    return new_chains, skey_next, u_shared, cap_out
+    u_out = u_min                        # stratum base (diagnostics)
+    return new_chains, skey_next, u_out, cap_out
 
 
 def anneal_iteration(state: AnnealState, ctx: BlockContext,
@@ -427,8 +433,8 @@ def anneal_iteration(state: AnnealState, ctx: BlockContext,
     step = jnp.minimum(state.epochs_done // epochs_per_step,
                        cfg.num_steps - 1)
 
-    chains, skey_next, u_shared, cap_pos = _chains_iter(state, ctx, step,
-                                                        cfg)
+    chains, skey_next, u_base, cap_pos = _chains_iter(state, ctx, step,
+                                                      cfg)
 
     # global best (reference keeps one best slab, main.c:89-92)
     b = fp.argmin(chains.cost_hi, chains.cost_lo)
@@ -480,7 +486,7 @@ def anneal_iteration(state: AnnealState, ctx: BlockContext,
         moves_done=state.moves_done + Cn * cfg.proposals,
         sweep_j=j_next,
         snap_pos=cap_pos,
-        u_prev=u_shared,
+        u_prev=u_base,
         skey=skey_next,
     )
 
