@@ -163,6 +163,21 @@ def _shared_lookup_wide(vals, wtab, CB):
     return jnp.concatenate(outs, axis=0).reshape(1, CB)
 
 
+def _shared_lookup_batch(vals, table, CB):
+    """Gather table[0, vals] for [S, CB] vals from a [1, 128] table in
+    ONE lane-local take_along (vs S separate _shared_lookup calls, each
+    paying its own reshape/relayout)."""
+    S = vals.shape[0]
+    if CB % 128 != 0:            # interpret-mode path (tiny test shapes)
+        return jnp.take(table[0], vals.reshape(-1),
+                        axis=0).reshape(S, CB)
+    rows = S * (CB // 128)
+    idx = vals.reshape(rows, 128)
+    tab = jnp.broadcast_to(table, (rows, 128))
+    g = jnp.take_along_axis(tab, idx, axis=1)
+    return g.reshape(S, CB)
+
+
 def _cls_gather(s_ref, name, idx, CB):
     """Masked row-sum gather from class `name`; idx [1, CB] within-class.
 
@@ -214,7 +229,7 @@ def _bit_length(d):
 def _kernel(slabT_ref, qu_ref, sc_ref, data_ref, dpk_ref, cand_d_ref,
             cand_l_ref, corrw_ref, rtoff_ref, probs_in_ref, carry_in_ref,
             out_slabT_ref, snapP_ref, misc_ref,
-            s_ref, carry_ref, tmp_ref, *, n, R, M, CB, TILE, BK, SITE,
+            s_ref, carry_ref, *, n, R, M, CB, TILE, BK, SITE,
             FB):
     """Grid = (chain_block, position_tile).  The probability state
     (s_ref) and the 16-row scan carry (carry_ref) persist in VMEM
@@ -228,7 +243,14 @@ def _kernel(slabT_ref, qu_ref, sc_ref, data_ref, dpk_ref, cand_d_ref,
     start tile from probs_in/carry_in (a snapshot captured by an earlier
     pass).  At the start of tile sc_ref[0,1] the full coder state is
     captured into snapP/misc[16:32]; cap == n_tiles captures the final
-    state instead (the historical "final probs" contract)."""
+    state instead (the historical "final probs" contract).
+
+    Per position, every adaptive-bit slot's (prob, bit, active) is
+    collected first and the exact cost math (f32 log2 + packed
+    correction + adaptation) runs ONCE on the stacked [NSLOT, CB]
+    tensor — one correction take_along instead of ~34, one clip/log2
+    chain instead of ~34 (the round-3 op-count lever; the per-slot form
+    measured ~40% of slot cost in arithmetic+lookup)."""
     pt = pl.program_id(1)
     n_tiles = pl.num_programs(1)
     start_tile = sc_ref[0, 0]
@@ -271,9 +293,8 @@ def _kernel(slabT_ref, qu_ref, sc_ref, data_ref, dpk_ref, cand_d_ref,
         entry = jnp.where(mpos == i, m0,
                           jnp.where(mpos + 1 == i, m1, entry))
 
-        # scan state lives in carry_ref rows (not fori values) so whole
-        # slot groups can be predicated off with pl.when when no lane
-        # needs them — the round-3 op-count lever (VERDICT r2 item 4).
+        # scan state lives in carry_ref rows (not fori values) so dead
+        # positions/tiles can be predicated off wholesale with pl.when.
         ctx = carry_ref[0:1, :]
         d0 = carry_ref[1:2, :]
         d1 = carry_ref[2:3, :]
@@ -316,12 +337,14 @@ def _kernel(slabT_ref, qu_ref, sc_ref, data_ref, dpk_ref, cand_d_ref,
             # alignment); off0 locates this tile inside its block
             off0 = (pt * TILE) % BK
             byte = data_ref[off0 + ii]                        # scalar
+            cdT = jnp.transpose(cand_d_ref[pl.ds(ii, 1), :])  # [M, 1]
+            clT = jnp.transpose(cand_l_ref[pl.ds(ii, 1), :])
 
-            ptype0 = ((entry >> P.TYPE_SHIFT)
-                      & P.TYPE_MASK).astype(jnp.int32)
-            dist0 = (entry & P.DIST_MASK).astype(jnp.int32)
-            length0 = ((entry >> P.LEN_SHIFT)
-                       & P.LEN_MASK).astype(jnp.int32)
+            ptype = ((entry >> P.TYPE_SHIFT)
+                     & P.TYPE_MASK).astype(jnp.int32)
+            dist = (entry & P.DIST_MASK).astype(jnp.int32)
+            length = ((entry >> P.LEN_SHIFT)
+                      & P.LEN_MASK).astype(jnp.int32)
 
             # rep0 match byte via packed-word shared gather (repair
             # rules + matched-literal context both read it)
@@ -329,78 +352,65 @@ def _kernel(slabT_ref, qu_ref, sc_ref, data_ref, dpk_ref, cand_d_ref,
             word = _shared_lookup_wide(jpos >> 2, dpk, CB)
             mb = (word >> ((jpos & 3) * 8)) & 255
 
+            # ---- repair rules (repair_scan._repair_entry) ------------
+            srep_ok = (i > 0) & (d0 + 1 <= i) & (mb == byte)
+            count_ok = since < 4
+            ls_type = jnp.where(srep_ok & count_ok, P.SREP,
+                                jnp.where(srep_ok, ptype, P.LIT))
+            valid_cols = []
+            for dj in (d0, d1, d2, d3):
+                hit = jnp.sum(
+                    jnp.where((cdT == dj) & (clT >= length), 1, 0),
+                    axis=0, keepdims=True)
+                valid_cols.append(
+                    jnp.where((hit > 0) & (dj + 1 <= i), 1, 0))
+            cur_idx = jnp.clip(dist, 0, 3)
+            cur_ok = jnp.where(
+                cur_idx == 0, valid_cols[0],
+                jnp.where(cur_idx == 1, valid_cols[1],
+                          jnp.where(cur_idx == 2, valid_cols[2],
+                                    valid_cols[3]))) > 0
+            first_valid = jnp.full((1, CB), 3, jnp.int32)
+            for js in (2, 1, 0):
+                first_valid = jnp.where(valid_cols[js] != 0, js,
+                                        first_valid)
+            any_valid = (valid_cols[0] + valid_cols[1]
+                         + valid_cols[2] + valid_cols[3]) > 0
+            lrep_ok = cur_ok | any_valid
+            lrep_idx = jnp.where(cur_ok, cur_idx, first_valid)
+            fb_type = jnp.where(srep_ok & count_ok, P.SREP, P.LIT)
+
+            is_ls = (ptype == P.LIT) | (ptype == P.SREP)
+            is_lrep0 = ptype == P.LREP
+            if FB == "match":
+                # longest table match at i, smallest distance on ties
+                # (repair_scan semantics, bit-identical)
+                ml = jnp.max(clT, axis=0, keepdims=True)       # [1, 1]
+                bd = jnp.min(jnp.where(clT == ml, cdT, 2**30), axis=0,
+                             keepdims=True)
+                flen = jnp.minimum(ml, n - i)
+                use_m = is_lrep0 & ~lrep_ok & (flen >= 2)
+            else:
+                ml = bd = flen = jnp.zeros((1, 1), jnp.int32)
+                use_m = jnp.zeros((1, CB), jnp.bool_)
+            r_type = jnp.where(
+                is_ls, ls_type,
+                jnp.where(is_lrep0,
+                          jnp.where(lrep_ok, P.LREP,
+                                    jnp.where(use_m, P.MATCH, fb_type)),
+                          ptype))
+            r_dist = jnp.where(
+                is_lrep0 & lrep_ok, lrep_idx,
+                jnp.where(use_m, bd,
+                          jnp.where(is_ls | is_lrep0, 0, dist)))
+            r_len = jnp.where(use_m, flen,
+                              jnp.where(is_lrep0 & ~lrep_ok, 1,
+                                        jnp.where(is_ls, 1, length)))
+
             in_repair = active & (i >= q)
-            tmp_ref[1:2, :] = ptype0
-            tmp_ref[2:3, :] = dist0
-            tmp_ref[3:4, :] = length0
-
-            @pl.when(jnp.max(jnp.where(in_repair, 1, 0)) > 0)
-            def _():
-                # ---- repair rules (repair_scan._repair_entry) --------
-                cdT = jnp.transpose(cand_d_ref[pl.ds(ii, 1), :])  # [M,1]
-                clT = jnp.transpose(cand_l_ref[pl.ds(ii, 1), :])
-                srep_ok = (i > 0) & (d0 + 1 <= i) & (mb == byte)
-                count_ok = since < 4
-                ls_type = jnp.where(srep_ok & count_ok, P.SREP,
-                                    jnp.where(srep_ok, ptype0, P.LIT))
-                valid_cols = []
-                for dj in (d0, d1, d2, d3):
-                    hit = jnp.sum(
-                        jnp.where((cdT == dj) & (clT >= length0), 1, 0),
-                        axis=0, keepdims=True)
-                    valid_cols.append(
-                        jnp.where((hit > 0) & (dj + 1 <= i), 1, 0))
-                cur_idx = jnp.clip(dist0, 0, 3)
-                cur_ok = jnp.where(
-                    cur_idx == 0, valid_cols[0],
-                    jnp.where(cur_idx == 1, valid_cols[1],
-                              jnp.where(cur_idx == 2, valid_cols[2],
-                                        valid_cols[3]))) > 0
-                first_valid = jnp.full((1, CB), 3, jnp.int32)
-                for js in (2, 1, 0):
-                    first_valid = jnp.where(valid_cols[js] != 0, js,
-                                            first_valid)
-                any_valid = (valid_cols[0] + valid_cols[1]
-                             + valid_cols[2] + valid_cols[3]) > 0
-                lrep_ok = cur_ok | any_valid
-                lrep_idx = jnp.where(cur_ok, cur_idx, first_valid)
-                fb_type = jnp.where(srep_ok & count_ok, P.SREP, P.LIT)
-
-                is_ls = (ptype0 == P.LIT) | (ptype0 == P.SREP)
-                is_lrep0 = ptype0 == P.LREP
-                if FB == "match":
-                    # longest table match at i, smallest distance on
-                    # ties (repair_scan semantics, bit-identical)
-                    ml = jnp.max(clT, axis=0, keepdims=True)   # [1, 1]
-                    bd = jnp.min(jnp.where(clT == ml, cdT, 2**30),
-                                 axis=0, keepdims=True)
-                    flen = jnp.minimum(ml, n - i)
-                    use_m = is_lrep0 & ~lrep_ok & (flen >= 2)
-                else:
-                    bd = flen = jnp.zeros((1, 1), jnp.int32)
-                    use_m = jnp.zeros((1, CB), jnp.bool_)
-                r_type = jnp.where(
-                    is_ls, ls_type,
-                    jnp.where(is_lrep0,
-                              jnp.where(lrep_ok, P.LREP,
-                                        jnp.where(use_m, P.MATCH,
-                                                  fb_type)),
-                              ptype0))
-                r_dist = jnp.where(
-                    is_lrep0 & lrep_ok, lrep_idx,
-                    jnp.where(use_m, bd,
-                              jnp.where(is_ls | is_lrep0, 0, dist0)))
-                r_len = jnp.where(use_m, flen,
-                                  jnp.where(is_lrep0 & ~lrep_ok, 1,
-                                            jnp.where(is_ls, 1,
-                                                      length0)))
-                tmp_ref[1:2, :] = jnp.where(in_repair, r_type, ptype0)
-                tmp_ref[2:3, :] = jnp.where(in_repair, r_dist, dist0)
-                tmp_ref[3:4, :] = jnp.where(in_repair, r_len, length0)
-
-            ptype = tmp_ref[1:2, :]
-            dist = tmp_ref[2:3, :]
-            length = tmp_ref[3:4, :]
+            ptype = jnp.where(in_repair, r_type, ptype)
+            dist = jnp.where(in_repair, r_dist, dist)
+            length = jnp.where(in_repair, r_len, length)
 
             # ---- packet field decomposition -------------------------
             is_lit = ptype == P.LIT
@@ -409,143 +419,153 @@ def _kernel(slabT_ref, qu_ref, sc_ref, data_ref, dpk_ref, cand_d_ref,
             is_lrep = ptype == P.LREP
             is_rep = is_srep | is_lrep
 
-            # ---- header flag bits (bitplan slots 0..4) ---------------
+            # ---- slot collection (probs read, nothing written) -------
+            # gathers: (class, idx, act) per slot, in commit order
+            gath = []          # (name, idx, act)
+            ps_list = []       # gathered probs [1, CB] each
+            bit_list = []      # bit per slot ([1, CB] or scalar)
+            act_list = []
+
+            def slot(name, idx, bit, act):
+                p, _, _ = _cls_gather(s_ref, name, idx, CB)
+                gath.append((name, idx, act))
+                ps_list.append(p)
+                bit_list.append(bit)
+                act_list.append(act)
+
+            # header flag bits (bitplan slots 0..4)
             b3 = is_lrep & (dist != 0)
             b4 = jnp.where(b3, (dist != 1).astype(jnp.int32),
                            is_lrep.astype(jnp.int32))
             b5 = (dist != 2).astype(jnp.int32)
-            cost = _adaptive_bit(s_ref, "ismatch", ctx,
-                                 (~is_lit).astype(jnp.int32), active,
-                                 corrw, CB)
-            cost += _adaptive_bit(s_ref, "isrep", ctx,
-                                  is_rep.astype(jnp.int32),
-                                  active & ~is_lit, corrw, CB)
-            tmp_ref[0:1, :] = cost
+            slot("ismatch", ctx, (~is_lit).astype(jnp.int32), active)
+            slot("isrep", ctx, is_rep.astype(jnp.int32),
+                 active & ~is_lit)
+            slot("g0", ctx, b3.astype(jnp.int32), active & is_rep)
+            slot("g1r0l", jnp.where(b3, ctx, 12 + ctx), b4,
+                 active & is_rep)
+            slot("g2", ctx, b5, active & is_rep & b3 & (b4 == 1))
 
-            rep_any = jnp.max(jnp.where(active & is_rep, 1, 0)) > 0
-
-            @pl.when(rep_any)
-            def _():
-                c = _adaptive_bit(s_ref, "g0", ctx,
-                                  b3.astype(jnp.int32),
-                                  active & is_rep, corrw, CB)
-                c += _adaptive_bit(s_ref, "g1r0l",
-                                   jnp.where(b3, ctx, 12 + ctx), b4,
-                                   active & is_rep, corrw, CB)
-                c += _adaptive_bit(s_ref, "g2", ctx, b5,
-                                   active & is_rep & b3 & (b4 == 1),
-                                   corrw, CB)
-                tmp_ref[0:1, :] = tmp_ref[0:1, :] + c
-
-            # ---- length coder (slots 5..14) --------------------------
+            # length coder (slots 5..14)
             len_active = active & (is_match | is_lrep)
             len2 = jnp.maximum(length - T.MATCH_LEN_MIN, 0)
             repc = is_lrep.astype(jnp.int32)
             c1 = (len2 >= 8).astype(jnp.int32)
             c2 = (len2 >= 16).astype(jnp.int32)
-
-            @pl.when(jnp.max(jnp.where(len_active, 1, 0)) > 0)
-            def _():
-                c = _adaptive_bit(s_ref, "lch", repc, c1, len_active,
-                                  corrw, CB)
-                c += _adaptive_bit(s_ref, "lch", 2 + repc, c2,
-                                   len_active & (c1 == 1), corrw, CB)
-                nbits = jnp.where(c2 == 1, 8, 3)
-                tval = jnp.where(c1 == 0, len2,
-                                 jnp.where(c2 == 0, len2 - 8,
-                                           len2 - 16))
-                for j in range(3):
+            slot("lch", repc, c1, len_active)
+            slot("lch", 2 + repc, c2, len_active & (c1 == 1))
+            nbits = jnp.where(c2 == 1, 8, 3)
+            tval = jnp.where(c1 == 0, len2,
+                             jnp.where(c2 == 0, len2 - 8, len2 - 16))
+            for j in range(8):
+                if j < 3:
                     tsel = jnp.where(c2 == 1, 4 + repc, repc * 2 + c1)
-                    idx = (tsel << j) + (tval >> jnp.maximum(nbits - j,
-                                                             0))
-                    bit = (tval >> jnp.maximum(nbits - 1 - j, 0)) & 1
-                    act = len_active & (j < nbits)
-                    c += _adaptive_bit(s_ref, f"ltree{j}", idx, bit,
-                                       act, corrw, CB)
-                tmp_ref[0:1, :] = tmp_ref[0:1, :] + c
+                else:
+                    tsel = repc
+                idx = (tsel << j) + (tval >> jnp.maximum(nbits - j, 0))
+                bit = (tval >> jnp.maximum(nbits - 1 - j, 0)) & 1
+                slot(f"ltree{j}", idx, bit, len_active & (j < nbits))
 
-                # deep levels: only len >= 18 packets (c2) reach them
-                @pl.when(jnp.max(jnp.where(len_active & (c2 == 1),
-                                           1, 0)) > 0)
-                def _():
-                    cd_ = jnp.zeros((1, CB), jnp.int32)
-                    for j in range(3, 8):
-                        idx = (repc << j) + (tval >> jnp.maximum(
-                            nbits - j, 0))
-                        bit = (tval >> jnp.maximum(nbits - 1 - j,
-                                                   0)) & 1
-                        act = len_active & (j < nbits)
-                        cd_ += _adaptive_bit(s_ref, f"ltree{j}", idx,
-                                             bit, act, corrw, CB)
-                    tmp_ref[0:1, :] = tmp_ref[0:1, :] + cd_
-
-            # ---- literal bits (8 scalar-row slots) -------------------
-            lit_active = active & is_lit
-
-            @pl.when(jnp.max(jnp.where(lit_active, 1, 0)) > 0)
-            def _():
-                L0 = ROW["lit"]
-                prefix_eq = jnp.ones((1, CB), jnp.int32)
-                ctx_ge7 = ctx >= 7
-                c = jnp.zeros((1, CB), jnp.int32)
-                for j in range(8):
-                    sym = (1 << j) | (byte >> (8 - j))        # scalar
-                    lbit = (byte >> (7 - j)) & 1              # scalar
-                    mbit = (mb >> (7 - j)) & 1                # [1, CB]
-                    matched = ctx_ge7 & (prefix_eq == 1)
-                    sel = jnp.where(matched, 1 + mbit, 0)
-                    r0 = s_ref[pl.ds(L0 + sym, 1), :]
-                    r1 = s_ref[pl.ds(L0 + 256 + sym, 1), :]
-                    r2 = s_ref[pl.ds(L0 + 512 + sym, 1), :]
-                    p = jnp.where(sel == 0, r0,
-                                  jnp.where(sel == 1, r1, r2))
-                    cj, adapted = _cost_adapt(p, lbit, lit_active,
-                                              corrw, CB)
-                    c += cj
-                    s_ref[pl.ds(L0 + sym, 1), :] = jnp.where(
-                        (sel == 0) & lit_active, adapted, r0)
-                    s_ref[pl.ds(L0 + 256 + sym, 1), :] = jnp.where(
-                        (sel == 1) & lit_active, adapted, r1)
-                    s_ref[pl.ds(L0 + 512 + sym, 1), :] = jnp.where(
-                        (sel == 2) & lit_active, adapted, r2)
-                    prefix_eq = prefix_eq * (mbit == lbit).astype(
-                        jnp.int32)
-                tmp_ref[0:1, :] = tmp_ref[0:1, :] + c
-
-            # ---- distance coder (slots 15..25 + direct bits) ---------
+            # distance coder (slots 15..25 + direct bits)
             act_d = active & is_match
+            bl = _bit_length(dist)
+            nlb_t = jnp.maximum(bl - 2, 0)
+            high = dist >> nlb_t
+            ps = jnp.where(dist < 4, dist, nlb_t * 2 + high)
+            len_ctx = jnp.minimum(len2, 3)
+            for j in range(6):
+                idx = (len_ctx << j) + (ps >> (6 - j))
+                bit = (ps >> (5 - j)) & 1
+                slot(f"dst{j}", idx, bit, act_d)
+            midrange = (ps >= 4) & (ps < 14)
+            nlb = jnp.where(midrange, (ps >> 1) - 1, 4)
+            low = dist & ((1 << nlb) - 1)
+            tid = jnp.where(midrange, ps - 4, 10)
+            act_rt = act_d & (ps >= 4)
+            rev = jnp.zeros((1, CB), jnp.int32)
+            for t in range(5):
+                off = _shared_lookup(16 * t + tid, rtoff, CB)
+                bit = (low >> t) & 1
+                slot(f"rt{t}", off + rev, bit, act_rt & (t < nlb))
+                rev = (rev << 1) | bit
 
-            @pl.when(jnp.max(jnp.where(act_d, 1, 0)) > 0)
-            def _():
-                bl = _bit_length(dist)
-                nlb_t = jnp.maximum(bl - 2, 0)
-                high = dist >> nlb_t
-                ps = jnp.where(dist < 4, dist, nlb_t * 2 + high)
-                len_ctx = jnp.minimum(len2, 3)
-                c = jnp.zeros((1, CB), jnp.int32)
-                for j in range(6):
-                    idx = (len_ctx << j) + (ps >> (6 - j))
-                    bit = (ps >> (5 - j)) & 1
-                    c += _adaptive_bit(s_ref, f"dst{j}", idx, bit,
-                                       act_d, corrw, CB)
-                midrange = (ps >= 4) & (ps < 14)
-                nlb = jnp.where(midrange, (ps >> 1) - 1, 4)
-                low = dist & ((1 << nlb) - 1)
-                tid = jnp.where(midrange, ps - 4, 10)
-                act_rt = act_d & (ps >= 4)
-                rev = jnp.zeros((1, CB), jnp.int32)
-                for t in range(5):
-                    off = _shared_lookup(16 * t + tid, rtoff, CB)
-                    idx = off + rev
-                    bit = (low >> t) & 1
-                    c += _adaptive_bit(s_ref, f"rt{t}", idx, bit,
-                                       act_rt & (t < nlb), corrw, CB)
-                    rev = (rev << 1) | bit
-                n_direct = jnp.where(act_d & (ps >= 14), nlb_t - 4, 0)
-                c += n_direct << T.PROB_BITS
-                tmp_ref[0:1, :] = tmp_ref[0:1, :] + c
+            # literal bits: 3 scalar-row reads + per-lane select; their
+            # cost rides the same batch, commits are scalar-row writes
+            lit_active = active & is_lit
+            L0 = ROW["lit"]
+            prefix_eq = jnp.ones((1, CB), jnp.int32)
+            ctx_ge7 = ctx >= 7
+            lit_sel = []
+            lit_rows = []
+            NG = len(ps_list)             # gathered-slot count
+            for j in range(8):
+                sym = (1 << j) | (byte >> (8 - j))            # scalar
+                lbit = (byte >> (7 - j)) & 1                  # scalar
+                mbit = (mb >> (7 - j)) & 1                    # [1, CB]
+                matched = ctx_ge7 & (prefix_eq == 1)
+                sel = jnp.where(matched, 1 + mbit, 0)
+                r0 = s_ref[pl.ds(L0 + sym, 1), :]
+                r1 = s_ref[pl.ds(L0 + 256 + sym, 1), :]
+                r2 = s_ref[pl.ds(L0 + 512 + sym, 1), :]
+                p = jnp.where(sel == 0, r0,
+                              jnp.where(sel == 1, r1, r2))
+                ps_list.append(p)
+                bit_list.append(jnp.full((1, CB), lbit, jnp.int32))
+                act_list.append(lit_active)
+                lit_sel.append(sel)
+                lit_rows.append((sym, r0, r1, r2))
+                prefix_eq = prefix_eq * (mbit == lbit).astype(jnp.int32)
 
-            cost = tmp_ref[0:1, :]
+            # ---- ONE batched exact-cost + adaptation pass ------------
+            # pad the slot count to a sublane multiple: Mosaic rejects
+            # reshapes of non-8-aligned row counts
+            while len(ps_list) % 8 != 0:
+                ps_list.append(jnp.full((1, CB), 1, jnp.int32))
+                bit_list.append(0)
+                act_list.append(jnp.zeros((1, CB), jnp.bool_))
+            S = len(ps_list)
+            Pm = jnp.concatenate(ps_list, axis=0)             # [S, CB]
+            Bm = jnp.concatenate(
+                [jnp.broadcast_to(jnp.asarray(b, jnp.int32), (1, CB))
+                 for b in bit_list], axis=0)
+            # bool tensors live in mask registers, which Mosaic cannot
+            # concatenate/relayout ("invalid vector register cast") —
+            # widen each activity row to int32 first
+            Am = jnp.concatenate(
+                [a.astype(jnp.int32) for a in act_list], axis=0) == 1
+            pc = jnp.clip(jnp.where(Bm == 1, PROB_ONE - Pm, Pm),
+                          1, PROB_ONE - 1)
+            c32 = _f32_log2_cost(pc)
+            w = _shared_lookup_batch(pc >> 4, corrw, CB)
+            cval = ((w >> ((pc & 15) * 2)) & 3) - 1
+            cost = jnp.sum(jnp.where(Am, c32 + cval, 0), axis=0,
+                           keepdims=True)
+            adapted = jnp.where(
+                Bm == 1, Pm - (Pm >> T.MOVE_BITS),
+                Pm + ((PROB_ONE - Pm) >> T.MOVE_BITS))
+
+            # ---- commits (disjoint rows within a position) -----------
+            for k, (name, idx, act) in enumerate(gath):
+                row0, rows = ROW[name], ROWS[name]
+                t_ = s_ref[row0:row0 + rows, :]
+                ri = jax.lax.broadcasted_iota(jnp.int32, (rows, CB), 0)
+                m_ = ri == idx
+                s_ref[row0:row0 + rows, :] = jnp.where(
+                    m_ & act, adapted[k:k + 1, :], t_)
+            for j in range(8):
+                sym, r0, r1, r2 = lit_rows[j]
+                aj = adapted[NG + j:NG + j + 1, :]
+                sel = lit_sel[j]
+                s_ref[pl.ds(L0 + sym, 1), :] = jnp.where(
+                    (sel == 0) & lit_active, aj, r0)
+                s_ref[pl.ds(L0 + 256 + sym, 1), :] = jnp.where(
+                    (sel == 1) & lit_active, aj, r1)
+                s_ref[pl.ds(L0 + 512 + sym, 1), :] = jnp.where(
+                    (sel == 2) & lit_active, aj, r2)
+
+            n_direct = jnp.where(act_d & (ps >= 14), nlb_t - 4, 0)
+            cost = cost + (n_direct << T.PROB_BITS)
+
             lo2 = lo + cost
             hi2 = hi + (lo2 >> 16)
             lo2 = lo2 & 0xFFFF
@@ -797,8 +817,7 @@ def repair_cost_pallas2(slabs, q, u, data, data_packed, cand_dist, cand_len,
             jax.ShapeDtypeStruct((32, C), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((PACKED_ROWS, cb), jnp.int32),
-                        pltpu.VMEM((16, cb), jnp.int32),
-                        pltpu.VMEM((8, cb), jnp.int32)],
+                        pltpu.VMEM((16, cb), jnp.int32)],
         interpret=interpret,
     )(slabT, qu, sc, data1d, dpkR, cd, cl, corr, rtoff,
       jnp.transpose(probs_in), jnp.transpose(carry_in))
