@@ -32,8 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 from . import tables as T
 from . import problayout as PL
 from .pallas_repair2 import (_f32_log2_cost, _shared_lookup,
-                             _shared_lookup_wide, _cls_gather, _bit_length,
-                             rt_offset_table)
+                             _shared_lookup_batch, _cls_gather,
+                             _bit_length, rt_offset_table)
 from ..models import packets as P
 
 PROB_ONE = T.PROB_ONE
@@ -93,23 +93,26 @@ def _kernel(probs_ref, cand_ref, st_ref, corrw_ref, rtoff_ref,
         # intractable — PERF.md); the wrapper overwrites their metric
         act = valid & ~is_lit
 
-        cost = jnp.zeros((1, CB), jnp.int32)
+        # slot collection: gather all probs first, then ONE batched cost
+        # pass (same op-count lever as the repair kernel's batched phase)
+        ps_list, bit_list, act_list = [], [], []
+
+        def slot(name, idx, bit, a):
+            p, _, _ = _cls_gather(s_ref, name, idx, CB)
+            ps_list.append(p)
+            bit_list.append(bit)
+            act_list.append(a)
 
         # header flag bits (bitplan slots 0..4)
         b3 = is_lrep & (dist != 0)
         b4 = jnp.where(b3, (dist != 1).astype(jnp.int32),
                        is_lrep.astype(jnp.int32))
         b5 = (dist != 2).astype(jnp.int32)
-        cost += _bit_cost(s_ref, "ismatch", ctx,
-                          (~is_lit).astype(jnp.int32), act, corrw, CB)
-        cost += _bit_cost(s_ref, "isrep", ctx, is_rep.astype(jnp.int32),
-                          act & ~is_lit, corrw, CB)
-        cost += _bit_cost(s_ref, "g0", ctx, b3.astype(jnp.int32),
-                          act & is_rep, corrw, CB)
-        cost += _bit_cost(s_ref, "g1r0l", jnp.where(b3, ctx, 12 + ctx), b4,
-                          act & is_rep, corrw, CB)
-        cost += _bit_cost(s_ref, "g2", ctx, b5,
-                          act & is_rep & b3 & (b4 == 1), corrw, CB)
+        slot("ismatch", ctx, (~is_lit).astype(jnp.int32), act)
+        slot("isrep", ctx, is_rep.astype(jnp.int32), act & ~is_lit)
+        slot("g0", ctx, b3.astype(jnp.int32), act & is_rep)
+        slot("g1r0l", jnp.where(b3, ctx, 12 + ctx), b4, act & is_rep)
+        slot("g2", ctx, b5, act & is_rep & b3 & (b4 == 1))
 
         # length coder (slots 5..14)
         len_act = act & (is_match | is_lrep)
@@ -117,9 +120,8 @@ def _kernel(probs_ref, cand_ref, st_ref, corrw_ref, rtoff_ref,
         repc = is_lrep.astype(jnp.int32)
         c1 = (len2 >= 8).astype(jnp.int32)
         c2 = (len2 >= 16).astype(jnp.int32)
-        cost += _bit_cost(s_ref, "lch", repc, c1, len_act, corrw, CB)
-        cost += _bit_cost(s_ref, "lch", 2 + repc, c2,
-                          len_act & (c1 == 1), corrw, CB)
+        slot("lch", repc, c1, len_act)
+        slot("lch", 2 + repc, c2, len_act & (c1 == 1))
         nbits = jnp.where(c2 == 1, 8, 3)
         tval = jnp.where(c1 == 0, len2,
                          jnp.where(c2 == 0, len2 - 8, len2 - 16))
@@ -130,8 +132,7 @@ def _kernel(probs_ref, cand_ref, st_ref, corrw_ref, rtoff_ref,
                 tsel = repc
             idx = (tsel << j) + (tval >> jnp.maximum(nbits - j, 0))
             bit = (tval >> jnp.maximum(nbits - 1 - j, 0)) & 1
-            cost += _bit_cost(s_ref, f"ltree{j}", idx, bit,
-                              len_act & (j < nbits), corrw, CB)
+            slot(f"ltree{j}", idx, bit, len_act & (j < nbits))
 
         # distance coder (slots 15..25 + direct bits)
         act_d = act & is_match
@@ -143,7 +144,7 @@ def _kernel(probs_ref, cand_ref, st_ref, corrw_ref, rtoff_ref,
         for j in range(6):
             idx = (len_ctx << j) + (ps >> (6 - j))
             bit = (ps >> (5 - j)) & 1
-            cost += _bit_cost(s_ref, f"dst{j}", idx, bit, act_d, corrw, CB)
+            slot(f"dst{j}", idx, bit, act_d)
         midrange = (ps >= 4) & (ps < 14)
         nlb = jnp.where(midrange, (ps >> 1) - 1, 4)
         low = dist & ((1 << nlb) - 1)
@@ -153,11 +154,28 @@ def _kernel(probs_ref, cand_ref, st_ref, corrw_ref, rtoff_ref,
         for t in range(5):
             off = _shared_lookup(16 * t + tid, rtoff, CB)
             bit = (low >> t) & 1
-            cost += _bit_cost(s_ref, f"rt{t}", off + rev, bit,
-                              act_rt & (t < nlb), corrw, CB)
+            slot(f"rt{t}", off + rev, bit, act_rt & (t < nlb))
             rev = (rev << 1) | bit
+
+        while len(ps_list) % 8 != 0:         # sublane-align the batch
+            ps_list.append(jnp.full((1, CB), 1, jnp.int32))
+            bit_list.append(0)
+            act_list.append(jnp.zeros((1, CB), jnp.bool_))
+        Pm = jnp.concatenate(ps_list, axis=0)
+        Bm = jnp.concatenate(
+            [jnp.broadcast_to(jnp.asarray(b, jnp.int32), (1, CB))
+             for b in bit_list], axis=0)
+        Am = jnp.concatenate(                # bool = mask regs: widen
+            [a.astype(jnp.int32) for a in act_list], axis=0) == 1
+        pc = jnp.clip(jnp.where(Bm == 1, PROB_ONE - Pm, Pm),
+                      1, PROB_ONE - 1)
+        c32 = _f32_log2_cost(pc)
+        w = _shared_lookup_batch(pc >> 4, corrw, CB)
+        cval = ((w >> ((pc & 15) * 2)) & 3) - 1
+        cost = jnp.sum(jnp.where(Am, c32 + cval, 0), axis=0,
+                       keepdims=True)
         n_direct = jnp.where(act_d & (ps >= 14), nlb_t - 4, 0)
-        cost += n_direct << T.PROB_BITS
+        cost = cost + (n_direct << T.PROB_BITS)
 
         metric = _exact_div(cost, jnp.maximum(length, 1))
         out_ref[pl.ds(k, 1), :] = jnp.where(act, metric, BIG)
