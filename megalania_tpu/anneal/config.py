@@ -20,7 +20,14 @@ class AnnealConfig:
     # schedule (reference: 3 steps x 200 epochs x n iters, main.c:66-69)
     num_steps: int = 3
     num_epochs: int = 200              # reference epochs; chains divide this
-    iters_per_epoch: int | None = None  # default: block length n
+    # lockstep iterations per epoch-restart.  The reference restarts
+    # every n MOVES (main.c:70); with C lockstep chains an epoch of
+    # 16n/C iterations reseeds from the global best every ~16n moves —
+    # measured the dominant matched-budget ratio lever (PERF.md r3:
+    # restarting ~20x per reference budget closed most of the gap to
+    # the reference binary).  None = this scaled default; a block
+    # length n is the old once-per-budget behavior (iters_per_epoch=n).
+    iters_per_epoch: int | None = None
 
     # proposal distribution
     top_k: int = 20                    # beam size (main.c:49)
@@ -62,11 +69,12 @@ class AnnealConfig:
     # later passes start at that stratum's own tile boundary.  Site
     # coverage stays uniform (sweep_repeats draws per stratum).
     sweep_repeats: int = 4
-    # repair fallback for an un-re-aimable long rep: "litsrep" (ours) or
-    # "match" (reference-flavoured: best table match at the site,
-    # approximating the reference's in-repair top-K resample,
-    # packet_slab_neighbour.c:104-109)
-    lrep_fallback: str = "litsrep"
+    # repair fallback for an un-re-aimable long rep: "match"
+    # (reference-flavoured: best table match at the site, approximating
+    # the reference's in-repair top-K resample,
+    # packet_slab_neighbour.c:104-109 — measured better or neutral on
+    # every corpus file) or "litsrep" (plain literal/short-rep)
+    lrep_fallback: str = "match"
     chain_block: int = 128             # chains per Pallas kernel grid step
     #   (128 keeps the n=2048 working set within the 16 MiB VMEM budget:
     #    slabT in+out + probs + candidate tables ~ 6 MiB at cb=128)
@@ -103,4 +111,6 @@ class AnnealConfig:
                 f"unknown lrep_fallback {self.lrep_fallback!r}")
 
     def iters(self, n: int) -> int:
-        return self.iters_per_epoch if self.iters_per_epoch else n
+        if self.iters_per_epoch:
+            return self.iters_per_epoch
+        return max(32, min(16 * n // max(self.chains, 1), n))

@@ -70,7 +70,7 @@ def main(argv=None):
                    help="mutation-site schedule (sweep enables snapshot "
                    "partial re-cost; random = per-chain uniform sites, "
                    "always a full walk)")
-    c.add_argument("--lrep-fallback", default="litsrep",
+    c.add_argument("--lrep-fallback", default="match",
                    choices=["litsrep", "match"],
                    help="repair fallback for unrepairable long reps")
     c.add_argument("--checkpoint", default=None, metavar="DIR",

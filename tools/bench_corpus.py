@@ -126,14 +126,18 @@ def main():
     ap.add_argument("--sublens", type=int, default=3)
     ap.add_argument("--site-schedule", default="sweep")
     ap.add_argument("--sweep-repeats", type=int, default=4)
-    ap.add_argument("--lrep-fallback", default="litsrep")
+    ap.add_argument("--lrep-fallback", default="match")
     ap.add_argument("--site-mode", default="byte")
     ap.add_argument("--proposals", type=int, default=1)
+    ap.add_argument("--iters-per-epoch", type=int, default=None)
+    ap.add_argument("--num-epochs", type=int, default=200)
     args = ap.parse_args()
     overrides = dict(sublens=args.sublens, site_schedule=args.site_schedule,
                      sweep_repeats=args.sweep_repeats,
                      lrep_fallback=args.lrep_fallback,
-                     site_mode=args.site_mode, proposals=args.proposals)
+                     site_mode=args.site_mode, proposals=args.proposals,
+                     iters_per_epoch=args.iters_per_epoch,
+                     num_epochs=args.num_epochs)
     sizes = [int(s) for s in args.sizes.split(",")]
 
     have_ref = (not args.skip_ref) and ensure_ref()
