@@ -249,6 +249,13 @@ def compress(
     full = [bi for bi in range(len(parts))
             if len(parts[bi]) == cfg.block_size and bi in mine]
     mesh_done = []
+    # the mesh fast path only pays with >1 device (blocks ride the mesh
+    # axes); on a single chip it is pure shard_map overhead — and large
+    # blocks under shard_map hit a TPU kernel fault there (observed at
+    # n=65536 on one v5e chip), so route single-device runs through the
+    # plain per-block queue
+    if len(jax.devices()) < 2:
+        use_mesh = False
     if use_mesh and len(full) >= 2:
         mesh_ck = (os.path.join(checkpoint_dir, "mesh.npz")
                    if checkpoint_dir else None)
