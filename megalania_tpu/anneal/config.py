@@ -39,6 +39,13 @@ class AnnealConfig:
     max_candidates: int = 16
     max_walk: int = 96
     sublens: int = 3                   # lengths evaluated per candidate
+    # initial parse: "greedy" (longest-match walk over the candidate
+    # table, SURVEY §7), "literal" (the reference's all-literals,
+    # main.c:71), or "mixed" (half the chains each — the first epoch's
+    # best-exchange keeps whichever start suits the data: greedy won
+    # binary corpora by ~4%, literal won text by ~1% at matched budget).
+    # Greedy seeding is decisive at low budgets on large blocks.
+    init: str = "mixed"
 
     # parallel structure
     chains: int = 64                   # parallel annealing chains per block
@@ -109,6 +116,8 @@ class AnnealConfig:
         if self.lrep_fallback not in ("litsrep", "match"):
             raise ValueError(
                 f"unknown lrep_fallback {self.lrep_fallback!r}")
+        if self.init not in ("greedy", "literal", "mixed"):
+            raise ValueError(f"unknown init {self.init!r}")
 
     def iters(self, n: int) -> int:
         if self.iters_per_epoch:

@@ -43,6 +43,7 @@ class BlockContext(NamedTuple):
     data_packed: jnp.ndarray  # int32[1, ceil(n/4) padded] (pallas kernel)
     corr: jnp.ndarray        # int32[1, 128] packed log2 correction
     f2p: jnp.ndarray         # int32[PROBS_PAD] flat->packed slot map
+    init_slab: jnp.ndarray   # uint32[n] initial parse (cfg.init)
 
 
 def resolve_kernel(cfg: AnnealConfig) -> str:
@@ -176,6 +177,10 @@ def make_context(data: bytes, cfg: AnnealConfig) -> BlockContext:
     tab = C_.build_candidates(arr, cfg.max_candidates, cfg.max_walk, idx)
     corr = pallas_repair2.log2_correction(
         interpret=jax.default_backend() != "tpu")
+    if cfg.init in ("greedy", "mixed"):
+        init_slab = C_.greedy_slab(arr, tab)
+    else:
+        init_slab = np.asarray(P.literal_slab(len(arr)))
     return BlockContext(
         data=jnp.asarray(arr.astype(np.int32)),
         rank=jnp.asarray(idx.rank),
@@ -187,6 +192,7 @@ def make_context(data: bytes, cfg: AnnealConfig) -> BlockContext:
         data_packed=jnp.asarray(pallas_repair2.pack_data_words(arr)),
         corr=jnp.asarray(corr),
         f2p=jnp.asarray(problayout.F2P_PAD),
+        init_slab=jnp.asarray(init_slab),
     )
 
 
@@ -194,7 +200,13 @@ def init_state(ctx: BlockContext, cfg: AnnealConfig) -> AnnealState:
     """Fresh chains on the all-literal parse, costed once."""
     n = ctx.data.shape[0]
     C = cfg.chains
-    slab0 = jnp.broadcast_to(jnp.asarray(P.literal_slab(n)), (C, n))
+    slab0 = jnp.broadcast_to(ctx.init_slab, (C, n))
+    if cfg.init == "mixed":
+        # half the chains start from the all-literals parse: the first
+        # epoch's best-exchange keeps whichever start suits the data
+        lit = jnp.asarray(P.literal_slab(n))
+        half = (jnp.arange(C) % 2 == 1)[:, None]
+        slab0 = jnp.where(half, lit, slab0)
     all_keys = jax.random.split(jax.random.PRNGKey(cfg.seed), C + 1)
     keys, skey = all_keys[:C], all_keys[C]
     ks = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
@@ -445,10 +457,11 @@ def anneal_iteration(state: AnnealState, ctx: BlockContext,
     best_hi = jnp.where(improved, cand_hi, state.best_hi)
     best_lo = jnp.where(improved, cand_lo, state.best_lo)
 
-    # epoch restart (main.c:70-77): step 0 from literals, else from best
+    # epoch restart (main.c:70-77): step 0 from the initial parse
+    # (cfg.init: greedy or the reference's literals), else from best
     it = state.it_in_epoch + 1
     restart = it >= iters
-    lit = jnp.asarray(P.literal_slab(n))
+    lit = ctx.init_slab
     # next step after this epoch increments epochs_done
     next_step = jnp.minimum((state.epochs_done + 1) // epochs_per_step,
                             cfg.num_steps - 1)

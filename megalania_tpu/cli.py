@@ -52,6 +52,10 @@ def main(argv=None):
     c.add_argument("--top-k", type=int, default=20)
     c.add_argument("--sublens", type=int, default=3,
                    help="candidate lengths evaluated per match entry")
+    c.add_argument("--init", default="mixed",
+                   choices=["greedy", "literal", "mixed"],
+                   help="initial parse (greedy longest-match or the "
+                   "reference's all-literals)")
     c.add_argument("--seed", type=int, default=1673551)
     c.add_argument("--quiet", action="store_true")
     c.add_argument("--kernel", default="auto",
@@ -106,7 +110,7 @@ def main(argv=None):
             top_k=args.top_k, seed=args.seed, kernel=args.kernel,
             ranker=args.ranker, proposals=args.proposals,
             site_mode=args.site_mode, lrep_fallback=args.lrep_fallback,
-            sublens=args.sublens,
+            sublens=args.sublens, init=args.init,
             site_schedule=args.site_schedule,
         )
         progress = None if args.quiet else _progress_printer(time.time())

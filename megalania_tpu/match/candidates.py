@@ -106,3 +106,36 @@ def enumerate_occurrences(data, pos: int, index: LCEIndex | None = None):
             out.append((pos - c - 1, ext))
         c = prev[c]
     return out
+
+
+def greedy_slab(data, tab: CandidateTable, min_len: int = 3) -> np.ndarray:
+    """Greedy longest-match parse as a packed uint32 slab.
+
+    SURVEY §7's greedy init: at each position take the longest table
+    candidate (>= min_len; ties prefer the nearest distance because the
+    table is built nearest-first), else a literal.  The annealer then
+    refines from a structured parse instead of all-literals — decisive
+    at low move budgets on large blocks, where one move per position is
+    not enough to discover matches from scratch.
+    """
+    from ..models import packets as P
+
+    data = np.frombuffer(bytes(data), np.uint8) if isinstance(
+        data, (bytes, bytearray)) else np.asarray(data, np.uint8)
+    n = len(data)
+    slab = np.asarray(P.literal_slab(n)).copy()
+    lens = tab.length
+    dists = tab.dist
+    best_slot = np.argmax(lens, axis=1) if n else np.zeros(0, np.int64)
+    i = 0
+    while i < n:
+        s = best_slot[i]
+        l = int(lens[i, s])
+        if l >= min_len:
+            l = min(l, n - i)
+            if l >= min_len:
+                slab[i] = P.pack_np(P.MATCH, int(dists[i, s]), l)
+                i += l
+                continue
+        i += 1
+    return slab

@@ -141,6 +141,7 @@ def sharded_step(mesh: Mesh, cfg: AnnealConfig, n_iters: int):
         data_packed=PSpec(BLOCK_AXIS),
         corr=PSpec(BLOCK_AXIS),
         f2p=PSpec(BLOCK_AXIS),
+        init_slab=PSpec(BLOCK_AXIS),
     )
 
     def per_block(state, ctx):

@@ -16,7 +16,10 @@ DATA = (b"the quick brown fox jumps over the lazy dog. "
 
 @pytest.fixture(scope="module")
 def cfg():
-    return AnnealConfig(chains=8, max_candidates=8, max_walk=64, top_k=12)
+    # init="literal" preserves this module's original premise: the
+    # anneal must beat the all-literals parse (the reference's start)
+    return AnnealConfig(chains=8, max_candidates=8, max_walk=64, top_k=12,
+                        init="literal")
 
 
 @pytest.fixture(scope="module")
@@ -88,3 +91,25 @@ def test_proposal_parallelism():
     # best-of-3 at equal iterations should not be worse
     assert fp.to_int(sP.best_hi, sP.best_lo) <= fp.to_int(
         s1.best_hi, s1.best_lo)
+
+
+def test_greedy_init_beats_literals_and_anneals(cfg):
+    """cfg.init='greedy' (SURVEY §7): the greedy longest-match parse
+    costs less than all-literals, the anneal never regresses from it,
+    and the result still decodes bit-exactly."""
+    gcfg = AnnealConfig(chains=8, max_candidates=8, max_walk=64, top_k=12,
+                        init="greedy")
+    gctx = engine.make_context(DATA, gcfg)
+    gstate = engine.init_state(gctx, gcfg)
+    greedy_cost = fp.to_int(gstate.best_hi, gstate.best_lo)
+
+    lctx = engine.make_context(DATA, cfg)
+    lstate = engine.init_state(lctx, cfg)
+    lit_cost = fp.to_int(lstate.best_hi, lstate.best_lo)
+    assert greedy_cost < lit_cost, (greedy_cost, lit_cost)
+
+    out = engine.run_iters(gstate, gctx, gcfg, 40)
+    best = fp.to_int(out.best_hi, out.best_lo)
+    assert best <= greedy_cost
+    blob = pyemit.emit(DATA, np.asarray(out.best_slab))
+    assert lzma.decompress(blob, format=lzma.FORMAT_ALONE) == DATA
