@@ -54,7 +54,7 @@ class AnnealConfig:
     block_size: int = 1 << 16          # block sharding unit (<= 1 MiB)
 
     # kernel selection for the fused repair+cost pass
-    kernel: str = "auto"               # "auto" | "pallas" | "xla"
+    kernel: str = "auto"               # "auto" | "xla" | "pallas2"
     ranker: str = "auto"               # "auto" | "kernel" | "xla"
 
     # mutation-site distribution: "byte" picks a byte position (site =

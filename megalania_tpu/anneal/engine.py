@@ -293,7 +293,7 @@ def _propose(slabs, q, rec_ctx, rec_dists, rank_probs, keys,
 
 
 def _chains_iter(state: AnnealState, ctx: BlockContext, step,
-                 cfg: AnnealConfig):
+                 cfg: AnnealConfig, axis_name=None):
     """One lockstep move for all C chains (chain-batched, single scan).
 
     With cfg.proposals = P > 1, each chain evaluates P independent
@@ -330,17 +330,19 @@ def _chains_iter(state: AnnealState, ctx: BlockContext, step,
         probs_c = jnp.where(fresh_sweep, jnp.int32(T.PROB_INIT),
                             chains.rank_probs)
         carry_c = jnp.where(fresh_sweep, jnp.int32(0), chains.snap_carry)
-        q_floor = start_pos
     else:
         start_pos = None                 # full walk
         u_min = jnp.int32(0)
         probs_c = carry_c = None
         carry16 = jnp.zeros((Cn, 16), jnp.int32)
-        q_floor = jnp.int32(0)
 
     base_carry = carry_c if carry_c is not None else carry16
     fresh = chains.rec_live >= n         # recorded site ran off the end
-    q = jnp.where(fresh, q_floor, chains.rec_live)
+    # a fresh chain mutates at the snapshot's live_pos (carry slot 5 —
+    # repair_scan.CARRY16), not the tile-aligned start_pos: the snapshot
+    # boundary can fall mid-packet, and a dead-cell site would be
+    # silently skipped by the walk (a wasted move)
+    q = jnp.where(fresh, base_carry[:, 5], chains.rec_live)
     rec_ctx = jnp.where(fresh, base_carry[:, 0], chains.rec_ctx)
     rec_dists = jnp.where(fresh[:, None], base_carry[:, 1:5],
                           chains.rec_dists)
@@ -349,8 +351,16 @@ def _chains_iter(state: AnnealState, ctx: BlockContext, step,
         # capture at the highest tile boundary valid for EVERY chain:
         # <= every mutation site q this pass (so the snapshot holds for
         # accepted and rejected slabs alike) and <= every chain's
-        # recording site u (the next pass mutates at rec_live(u) >= u)
-        cap_pos = jnp.minimum(jnp.min(q), u_min) // tile * tile
+        # recording site u (the next pass mutates at rec_live(u) >= u).
+        # Under shard_map (axis_name set) "every chain" means every
+        # chain of the BLOCK, not the local shard — the pmin keeps the
+        # snapshot position (and with it the ranking state) identical
+        # to the single-device trajectory, so mesh sharding never
+        # changes the compressed bytes (tests/test_parallel.py).
+        qmin = jnp.min(q)
+        if axis_name is not None:
+            qmin = jax.lax.pmin(qmin, axis_name)
+        cap_pos = jnp.minimum(qmin, u_min) // tile * tile
         cap_pos = jnp.maximum(cap_pos, start_pos)
     else:
         cap_pos = None                   # capture the final state
@@ -434,8 +444,12 @@ def _chains_iter(state: AnnealState, ctx: BlockContext, step,
 
 
 def anneal_iteration(state: AnnealState, ctx: BlockContext,
-                     cfg: AnnealConfig) -> AnnealState:
-    """One lockstep move across all chains + best/restart bookkeeping."""
+                     cfg: AnnealConfig, axis_name=None) -> AnnealState:
+    """One lockstep move across all chains + best/restart bookkeeping.
+
+    axis_name: shard_map chain axis when the block's chains are split
+    over devices (parallel/mesh.py) — used for the global sweep-snapshot
+    pmin and for global move accounting; None on a single device."""
     n = ctx.data.shape[0]
     iters = cfg.iters(n)
     sched = effective_schedule(cfg)
@@ -446,7 +460,7 @@ def anneal_iteration(state: AnnealState, ctx: BlockContext,
                        cfg.num_steps - 1)
 
     chains, skey_next, u_base, cap_pos = _chains_iter(state, ctx, step,
-                                                      cfg)
+                                                      cfg, axis_name)
 
     # global best (reference keeps one best slab, main.c:89-92)
     b = fp.argmin(chains.cost_hi, chains.cost_lo)
@@ -496,7 +510,11 @@ def anneal_iteration(state: AnnealState, ctx: BlockContext,
         best_lo=best_lo,
         it_in_epoch=jnp.where(restart, 0, it),
         epochs_done=state.epochs_done + jnp.where(restart, 1, 0),
-        moves_done=state.moves_done + Cn * cfg.proposals,
+        # count the BLOCK's moves, not the local shard's: under the mesh
+        # each chain shard holds Cn = C/axis_size rows, and moves_done
+        # drives resume accounting (compressor) and the progress metric
+        moves_done=state.moves_done + Cn * cfg.proposals * (
+            1 if axis_name is None else jax.lax.axis_size(axis_name)),
         sweep_j=j_next,
         snap_pos=cap_pos,
         u_prev=u_base,

@@ -16,12 +16,16 @@ from . import compressor
 
 def _progress_printer(t0):
     def cb(info):
+        if "mesh_blocks" in info:       # mesh fast path: B blocks at once
+            head = "mesh %d blocks" % info["mesh_blocks"]
+        else:
+            head = "block %d/%d" % (info.get("block", 0) + 1,
+                                    info.get("blocks", 1))
         sys.stderr.write(
-            "block %d/%d  current file size: %.2f  iter %d/%d  "
+            "%s  current file size: %.2f  iter %d/%d  "
             "epochs: %d  moves: %d  %.1fs\n" % (
-                info.get("block", 0) + 1, info.get("blocks", 1),
-                info["best_bytes"], info["iter"], info["iters"],
-                info["epochs"], info["moves"], time.time() - t0,
+                head, info["best_bytes"], info["iter"], info["iters"],
+                info.get("epochs", 0), info["moves"], time.time() - t0,
             )
         )
     return cb
@@ -59,7 +63,7 @@ def main(argv=None):
     c.add_argument("--seed", type=int, default=1673551)
     c.add_argument("--quiet", action="store_true")
     c.add_argument("--kernel", default="auto",
-                   choices=["auto", "xla", "pallas", "pallas2"],
+                   choices=["auto", "xla", "pallas2"],
                    help="fused-pass kernel (auto: pick per backend)")
     c.add_argument("--ranker", default="auto",
                    choices=["auto", "kernel", "xla"],

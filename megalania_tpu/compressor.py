@@ -127,6 +127,7 @@ def _compress_blocks_mesh(
     checkpoint_every: int = 4,
     resume: bool = False,
     metrics: Optional[MetricsLogger] = None,
+    block_ids: Optional[List[int]] = None,
 ) -> List[BlockResult]:
     """Anneal equal-sized blocks CONCURRENTLY over the device mesh.
 
@@ -136,6 +137,7 @@ def _compress_blocks_mesh(
     entirely (SURVEY.md §2: parallelism NONE); the final ordered gather
     of the ragged compressed streams happens host-side below.
     """
+    import jax
     from .parallel import mesh as mesh_mod
 
     t0 = time.time()
@@ -150,10 +152,27 @@ def _compress_blocks_mesh(
         moves_per_block = reference_budget(n, cfg)
     iters = max(1, moves_per_block // cfg.chains)
 
+    if block_ids is None:
+        block_ids = list(range(B))
+    ids_path = checkpoint_path + ".ids.json" if checkpoint_path else None
+    states = None
     if resume and checkpoint_path and os.path.exists(checkpoint_path):
-        states = ckpt_mod.load(checkpoint_path)
-        done = int(np.asarray(states.moves_done)[0]) // cfg.chains
-    else:
+        # the saved stack is keyed by block ids (VERDICT r3 weak #5): a
+        # resumed run may carry FEWER blocks (some block{bi}.lzma already
+        # emitted), so re-slice the stack to the current block list
+        saved_ids = list(range(B))
+        if ids_path and os.path.exists(ids_path):
+            import json
+            with open(ids_path) as f:
+                saved_ids = json.load(f)
+        if all(bi in saved_ids for bi in block_ids):
+            loaded = ckpt_mod.load(checkpoint_path)
+            sel = np.asarray([saved_ids.index(bi) for bi in block_ids])
+            states = (loaded if len(sel) == len(saved_ids)
+                      and (sel == np.arange(len(sel))).all()
+                      else jax.tree.map(lambda x: x[sel], loaded))
+            done = int(np.asarray(states.moves_done)[0]) // cfg.chains
+    if states is None:
         states = mesh_mod.replicate_for_blocks(
             [engine.init_state(c, cfg) for c in ctxs])
         done = 0
@@ -172,6 +191,10 @@ def _compress_blocks_mesh(
         if checkpoint_path and (segs % checkpoint_every == 0
                                 or done >= iters):
             ckpt_mod.save(checkpoint_path, states)
+            if ids_path:
+                import json
+                with open(ids_path, "w") as f:
+                    json.dump(block_ids, f)
         his = np.asarray(states.best_hi)
         los = np.asarray(states.best_lo)
         now = time.time()
@@ -187,6 +210,7 @@ def _compress_blocks_mesh(
             "best_bytes": round(sum(
                 18 + fp.to_int(h, l) / 16384.0 for h, l in zip(his, los)
             ), 2),
+            "epochs": int(np.asarray(states.epochs_done).min()),
         }
         if metrics is not None:
             metrics.log(**info)
@@ -271,7 +295,7 @@ def compress(
                     [parts[bi] for bi in todo], cfg, moves,
                     progress=progress, checkpoint_path=mesh_ck,
                     checkpoint_every=checkpoint_every, resume=resume,
-                    metrics=metrics)
+                    metrics=metrics, block_ids=todo)
             except Exception as e:  # noqa: BLE001 — elastic boundary
                 sys.stderr.write(
                     "mesh path failed (%s: %s); falling back per-block\n"
@@ -287,6 +311,8 @@ def compress(
                 mesh_done = todo
                 if mesh_ck and os.path.exists(mesh_ck):
                     os.unlink(mesh_ck)
+                if mesh_ck and os.path.exists(mesh_ck + ".ids.json"):
+                    os.unlink(mesh_ck + ".ids.json")
 
     queue = [(bi, cfg, 0) for bi in range(len(parts))
              if bi in mine and bi not in mesh_done]

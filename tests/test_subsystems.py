@@ -104,3 +104,37 @@ def test_fp_argmin_exact():
     f = fp.to_float(hi, lo)
     assert float(f[0]) == float(f[1])  # float key is blind here...
     assert int(fp.argmin(hi, lo)) == 1  # ...exact argmin is not
+
+
+def test_checkpoint_forward_compat(cfg, tmp_path):
+    """ADVICE r3: an npz written before AnnealState grew the sweep
+    fields must still load (safe defaults, sweep_j=0 forces a fresh
+    full-walk re-cost); one missing REQUIRED array must raise a clear
+    incompatibility error, not a bare KeyError."""
+    from megalania_tpu.anneal import engine
+    from megalania_tpu.utils import checkpoint as ck
+
+    ctx = engine.make_context(DATA, cfg)
+    state = engine.init_state(ctx, cfg)
+    path = str(tmp_path / "new.npz")
+    ck.save(path, state)
+
+    # strip the round-3 additions, as an old writer would have
+    old = dict(np.load(path))
+    legacy = {k: v for k, v in old.items()
+              if k not in ("chains.snap_carry", "sweep_j", "snap_pos",
+                           "u_prev", "skey")}
+    oldpath = str(tmp_path / "old.npz")
+    np.savez(oldpath, **legacy)
+    loaded = ck.load(oldpath)
+    assert loaded.chains.snap_carry.shape == state.chains.snap_carry.shape
+    assert int(loaded.sweep_j) == 0           # forces full-walk re-cost
+    # the loaded state must run
+    out = engine.run_iters(loaded, ctx, cfg, 2)
+    assert int(out.moves_done) > int(loaded.moves_done)
+
+    broken = {k: v for k, v in old.items() if k != "chains.slab"}
+    badpath = str(tmp_path / "bad.npz")
+    np.savez(badpath, **broken)
+    with pytest.raises(ValueError, match="incompatible checkpoint"):
+        ck.load(badpath)
