@@ -26,8 +26,11 @@ N = 2048                 # match the reference's measured n=2000 scale
 CHAINS = int(os.environ.get("BENCH_CHAINS", "512"))
 BASELINE_MOVES_PER_S = 16900.0   # reference @ n=2000 (BASELINE.md)
 N64K = 1 << 16
-CHAINS64K = int(os.environ.get("BENCH_CHAINS_64K", "256"))
-ITERS64K = int(os.environ.get("BENCH_ITERS_64K", "40"))
+CHAINS64K = int(os.environ.get("BENCH_CHAINS_64K", "512"))
+# fair steady-state window: a full sweep cycle (n_tiles * sweep_repeats
+# passes) so the average walk start is the sweep's true average — a
+# short window over-samples whichever strata it lands on (r4 lesson)
+ITERS64K = int(os.environ.get("BENCH_ITERS_64K", "0"))   # 0 = one sweep
 BASELINE_64K = BASELINE_MOVES_PER_S * 2000.0 / N64K   # ~515.8 moves/s
 
 
@@ -50,6 +53,10 @@ def measure(n, chains, iters, data_path, cb_cap=512):
         ranker=os.environ.get("BENCH_RANKER", "auto"),
         proposals=int(os.environ.get("BENCH_PROPOSALS", "1")),
     )
+    if iters == 0:    # one full sweep cycle (see ITERS64K note)
+        from megalania_tpu.ops import pallas_repair2 as PR2
+        tile = PR2.choose_tile(n, cfg.chain_block)
+        iters = (-(-n // tile)) * cfg.sweep_repeats
     ctx = engine.make_context(data, cfg)
     state = engine.init_state(ctx, cfg)
 

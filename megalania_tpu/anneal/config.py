@@ -11,7 +11,10 @@ import dataclasses
 
 @dataclasses.dataclass(frozen=True)
 class AnnealConfig:
-    # LZMA properties (reference: lc=lp=pb=0, main.c:45)
+    # LZMA properties (reference: lc=lp=pb=0, main.c:45).  lc>0 (literal
+    # context bits of the previous byte, xz's default is lc=3) is
+    # supported on the XLA kernel path — a ratio lever on text the
+    # reference binary lacks entirely (lzma_packet_encoder.c:113 todo).
     lc: int = 0
     lp: int = 0
     pb: int = 0
@@ -90,6 +93,11 @@ class AnnealConfig:
 
     def __post_init__(self):
         from ..models import packets as P
+        if not (0 <= self.lc <= 4):
+            raise ValueError("lc must be in 0..4")
+        if self.lp != 0 or self.pb != 0:
+            raise ValueError("only lp=pb=0 is implemented (like the "
+                             "reference, main.c:45)")
         if not (0 < self.block_size <= P.MAX_BLOCK):
             raise ValueError(
                 f"block_size={self.block_size} exceeds the {P.MAX_BLOCK}-byte "

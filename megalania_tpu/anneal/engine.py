@@ -49,7 +49,13 @@ class BlockContext(NamedTuple):
 def resolve_kernel(cfg: AnnealConfig) -> str:
     """Pick the fused-pass kernel: 'pallas2' (class-decomposed) on a real
     TPU backend when the chain count allows a 128-lane block, 'xla'
-    elsewhere — unless forced by cfg.kernel."""
+    elsewhere — unless forced by cfg.kernel.
+
+    lc > 0 currently runs on the XLA path only: the v2 kernel's VMEM
+    probability buffers are sized for the lc=0 model (a 2^lc literal
+    class would cap the lane block at 128; see VERDICT r3 item 8)."""
+    if cfg.lc > 0:
+        return "xla"
     if cfg.kernel != "auto":
         return cfg.kernel
     if jax.default_backend() != "tpu":
@@ -123,18 +129,19 @@ def _repair_cost(state_slabs, q, u, ctx: BlockContext, cfg: AnnealConfig,
             cap_tile=None if cap_pos is None else cap_pos // tile,
             probs_in=probs_in, carry_in=carry_in,
         )
+    lay = problayout.get_layout(cfg.lc)
     out = repair_scan.repair_cost_batched(
         state_slabs, q, u, ctx.data, ctx.cand_dist, ctx.cand_len,
         ctx.log2, site_mode=cfg.site_mode,
         lrep_fallback=cfg.lrep_fallback,
         start_pos=start_pos, cap_pos=cap_pos,
         probs_in=(None if probs_in is None
-                  else problayout.flat_from_packed(probs_in)),
-        carry_in=carry_in,
+                  else lay.flat_from_packed(probs_in)),
+        carry_in=carry_in, lc=cfg.lc,
     )
     # canonical rank_probs layout is the class-packed one (problayout)
     slabs, hi, lo, flat, rctx, rdists, rlive, count, snapc = out
-    return (slabs, hi, lo, problayout.packed_from_flat(flat), rctx, rdists,
+    return (slabs, hi, lo, lay.packed_from_flat(flat), rctx, rdists,
             rlive, count, snapc)
 
 
@@ -191,7 +198,7 @@ def make_context(data: bytes, cfg: AnnealConfig) -> BlockContext:
         log2=jnp.asarray(T.LOG2_TABLE_I32),
         data_packed=jnp.asarray(pallas_repair2.pack_data_words(arr)),
         corr=jnp.asarray(corr),
-        f2p=jnp.asarray(problayout.F2P_PAD),
+        f2p=jnp.asarray(problayout.get_layout(cfg.lc).F2P_PAD),
         init_slab=jnp.asarray(init_slab),
     )
 
@@ -283,7 +290,7 @@ def _propose(slabs, q, rec_ctx, rec_dists, rank_probs, keys,
         return slab2, None, None
     slab2 = jax.vmap(
         functools.partial(moves.propose, top_k=cfg.top_k,
-                          sublens=cfg.sublens),
+                          sublens=cfg.sublens, lc=cfg.lc),
         in_axes=(0, 0, 0, 0, 0, None, None, None, None, None, None, 0,
                  None, None),
     )(slabs, q, rec_ctx, rec_dists, rank_probs, ctx.data,

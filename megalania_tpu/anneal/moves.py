@@ -124,7 +124,7 @@ def gather_candidates(q, rec_dists, data, rank, sparse, cand_dist, cand_len,
 
 
 def rank_candidates(cands: Candidates, rank_probs, rec_ctx, rec_dists,
-                    byte, match_byte, log2, f2p):
+                    byte, match_byte, log2, f2p, prev_byte=0, lc: int = 0):
     """Amortized bit cost (cost // len) per candidate under ranking state.
 
     rank_probs is the class-packed layout (ops/problayout.py) — the
@@ -132,8 +132,8 @@ def rank_candidates(cands: Candidates, rank_probs, rec_ctx, rec_dists,
     probabilities; f2p is the flat->packed slot map (traced arg)."""
     def one(t, d, l):
         plan = bitplan.make_bit_plan(t, d, l, rec_ctx, rec_dists, byte,
-                                     match_byte)
-        return bitplan.plan_cost_packed(rank_probs, plan, log2, f2p)
+                                     match_byte, prev_byte=prev_byte, lc=lc)
+        return bitplan.plan_cost_packed(rank_probs, plan, log2, f2p, lc=lc)
 
     costs = jax.vmap(one)(cands.ptype, cands.dist, cands.length)
     metric = costs // jnp.maximum(cands.length, 1)
@@ -256,7 +256,7 @@ def apply_move(slab, q, rec_dists, cands: Candidates, metric, key, data,
 
 def propose(slab, q, rec_ctx, rec_dists, rank_probs, data, rank, sparse,
             cand_dist, cand_len, cand_count, key, log2, f2p, top_k=20,
-            sublens=SUBLENS):
+            sublens=SUBLENS, lc: int = 0):
     """Generate one mutated slab for the chain (XLA ranking path)."""
     n = data.shape[0]
     qc = jnp.clip(q, 0, n - 1)
@@ -265,7 +265,8 @@ def propose(slab, q, rec_ctx, rec_dists, rank_probs, data, rank, sparse,
                                  sublens=sublens)
     byte = data[qc]
     mb = data[jnp.clip(qc - rec_dists[0] - 1, 0, n - 1)]
+    prev = jnp.where(qc > 0, data[jnp.maximum(qc - 1, 0)], 0)
     metric = rank_candidates(cands, rank_probs, rec_ctx, rec_dists, byte,
-                             mb, log2, f2p)
+                             mb, log2, f2p, prev_byte=prev, lc=lc)
     return apply_move(slab, q, rec_dists, cands, metric, key, data,
                       top_k=top_k)

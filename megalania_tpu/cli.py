@@ -48,6 +48,10 @@ def main(argv=None):
     c.add_argument("file")
     c.add_argument("-o", "--output", default="-")
     c.add_argument("--chains", type=int, default=64)
+    c.add_argument("--chain-block", type=int, default=0,
+                   help="chains per kernel grid step (0 = auto: widest "
+                   "of 512/384/256/128 dividing --chains; wide lane "
+                   "blocks are nearly free on the VPU)")
     c.add_argument("--block-size", type=int, default=1 << 16)
     c.add_argument("--moves", type=int, default=None,
                    help="total anneal moves (default: reference budget)")
@@ -60,6 +64,10 @@ def main(argv=None):
                    choices=["greedy", "literal", "mixed"],
                    help="initial parse (greedy longest-match or the "
                    "reference's all-literals)")
+    c.add_argument("--lc", type=int, default=0,
+                   help="literal context bits (xz defaults to 3; the "
+                   "reference only supports 0). lc>0 runs the XLA "
+                   "kernel path")
     c.add_argument("--seed", type=int, default=1673551)
     c.add_argument("--quiet", action="store_true")
     c.add_argument("--kernel", default="auto",
@@ -109,13 +117,16 @@ def main(argv=None):
 
     if args.cmd == "compress":
         data = open(args.file, "rb").read()
+        cb = args.chain_block or (
+            max(d for d in (512, 384, 256, 128) if args.chains % d == 0)
+            if args.chains % 128 == 0 else 128)
         cfg = AnnealConfig(
-            chains=args.chains, block_size=args.block_size,
+            chains=args.chains, chain_block=cb, block_size=args.block_size,
             top_k=args.top_k, seed=args.seed, kernel=args.kernel,
             ranker=args.ranker, proposals=args.proposals,
             site_mode=args.site_mode, lrep_fallback=args.lrep_fallback,
             sublens=args.sublens, init=args.init,
-            site_schedule=args.site_schedule,
+            site_schedule=args.site_schedule, lc=args.lc,
         )
         progress = None if args.quiet else _progress_printer(time.time())
         metrics = None

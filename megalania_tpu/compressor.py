@@ -106,7 +106,7 @@ def compress_block(
         if progress is not None:
             progress(info)
     slab = np.asarray(state.best_slab)
-    stream = emit_mod.emit(data, slab, dict_size=cfg.dict_size)
+    stream = emit_mod.emit(data, slab, dict_size=cfg.dict_size, lc=cfg.lc)
     return BlockResult(
         stream=stream,
         raw_len=n,
@@ -223,7 +223,8 @@ def _compress_blocks_mesh(
     dt = time.time() - t0
     results = []
     for bi, part in enumerate(parts):
-        stream = emit_mod.emit(part, best_slabs[bi], dict_size=cfg.dict_size)
+        stream = emit_mod.emit(part, best_slabs[bi], dict_size=cfg.dict_size,
+                               lc=cfg.lc)
         results.append(BlockResult(
             stream=stream, raw_len=len(part),
             predicted_bytes=18 + fp.to_int(his[bi], los[bi]) / 16384.0,

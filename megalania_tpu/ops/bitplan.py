@@ -68,13 +68,19 @@ def _tree_rev(value, nbits, base, nslots):
     return base + m, bit, active
 
 
-def make_bit_plan(ptype, dist, length, ctx, dists, byte, match_byte) -> BitPlan:
+def make_bit_plan(ptype, dist, length, ctx, dists, byte, match_byte,
+                  prev_byte=None, lc: int = 0) -> BitPlan:
     """Compile one packet into its bit plan.
 
     ptype/dist/length: packet fields (LREP's `dist` is the rep-stack index).
     ctx/dists: coder state *before* the packet.  byte/match_byte: the data
     byte at the current position and the byte one rep0-distance back
     (match_byte only used when ctx >= 7).
+
+    lc (static) selects the literal-context model: the top lc bits of
+    prev_byte (the byte BEFORE this position; 0 at position 0) pick one
+    of 2^lc literal prob sub-tables (LZMA spec; the reference hardcodes
+    lc=0, /root/reference/src/lzma_packet_encoder.c:113 todo).
     """
     ptype = jnp.asarray(ptype, jnp.int32)
     dist = jnp.asarray(dist, jnp.int32)
@@ -147,6 +153,9 @@ def make_bit_plan(ptype, dist, length, ctx, dists, byte, match_byte) -> BitPlan:
     matched = (ctx >= 7).astype(jnp.int32) * prefix_eq
     symbol = (1 << j8) | (byte >> (8 - j8))
     lit_idx = T.LIT + symbol + matched * ((1 + mbits) << 8)
+    if lc:
+        lit_idx = lit_idx + (
+            jnp.asarray(prev_byte, jnp.int32) >> (8 - lc)) * 0x300
     lit_act = jnp.concatenate([
         jnp.full(8, is_lit), jnp.zeros(2, jnp.bool_)
     ])
@@ -191,19 +200,19 @@ def make_bit_plan(ptype, dist, length, ctx, dists, byte, match_byte) -> BitPlan:
 # 91s -> 0.5s compile time for a single packet step).
 
 
-def plan_cost(probs, plan: BitPlan, log2):
+def plan_cost(probs, plan: BitPlan, log2, lc: int = 0):
     """Exact fixed-point cost (bits << 11) of the plan under `probs`.
 
     Read-only: no adaptation (all slots within a packet are distinct, so
     intra-packet adaptation cannot affect its own cost).
     """
-    safe = jnp.where(plan.active, plan.idx, T.DEAD_SLOT)
+    safe = jnp.where(plan.active, plan.idx, T.dead_slot(lc))
     p = probs[safe]
     c = log2[jnp.where(plan.bit == 1, T.PROB_ONE - p, p)]
     return jnp.sum(jnp.where(plan.active, c, 0)) + (plan.n_direct << T.PROB_BITS)
 
 
-def plan_cost_packed(packed, plan: BitPlan, log2, f2p):
+def plan_cost_packed(packed, plan: BitPlan, log2, f2p, lc: int = 0):
     """plan_cost against the class-packed probability layout.
 
     `packed`: [PACKED_ROWS] per-chain vector (ops/problayout.py);
@@ -212,16 +221,16 @@ def plan_cost_packed(packed, plan: BitPlan, log2, f2p):
     -1 (alignment pads, DEAD_SLOT) read PROB_INIT — they are always
     masked inactive, the value only keeps the gather in bounds.
     """
-    safe = jnp.where(plan.active, plan.idx, T.DEAD_SLOT)
+    safe = jnp.where(plan.active, plan.idx, T.dead_slot(lc))
     row = f2p[safe]
     p = jnp.where(row >= 0, packed[jnp.maximum(row, 0)], T.PROB_INIT)
     c = log2[jnp.where(plan.bit == 1, T.PROB_ONE - p, p)]
     return jnp.sum(jnp.where(plan.active, c, 0)) + (plan.n_direct << T.PROB_BITS)
 
 
-def apply_plan(probs, plan: BitPlan, log2):
+def apply_plan(probs, plan: BitPlan, log2, lc: int = 0):
     """Cost the plan and adapt the probability table.  -> (probs', cost)."""
-    safe = jnp.where(plan.active, plan.idx, T.DEAD_SLOT)
+    safe = jnp.where(plan.active, plan.idx, T.dead_slot(lc))
     p = probs[safe]
     c = log2[jnp.where(plan.bit == 1, T.PROB_ONE - p, p)]
     cost = jnp.sum(jnp.where(plan.active, c, 0)) + (plan.n_direct << T.PROB_BITS)

@@ -15,7 +15,7 @@ from ..models import lzma_state as S
 from ..models import packets as P
 
 
-def emit_plan(slab, data):
+def emit_plan(slab, data, lc: int = 0):
     """-> (idx[n,NSLOTS] i32, bit[n,NSLOTS] i32, active[n,NSLOTS] bool,
             n_direct[n] i32, direct_val[n] i32)"""
     n = slab.shape[0]
@@ -27,8 +27,10 @@ def emit_plan(slab, data):
         ptype, dist, length, _ = P.unpack(entry)
         byte = data[i]
         mb_idx = jnp.clip(i - dists[0] - 1, 0, data.shape[0] - 1)
+        prev = jnp.where(i > 0, data[jnp.maximum(i - 1, 0)], 0)
         plan = bitplan.make_bit_plan(
-            ptype, dist, length, ctx, dists, byte, data[mb_idx]
+            ptype, dist, length, ctx, dists, byte, data[mb_idx],
+            prev_byte=prev, lc=lc,
         )
         out = (
             plan.idx,
@@ -51,4 +53,4 @@ def emit_plan(slab, data):
     return outs
 
 
-emit_plan_jit = jax.jit(emit_plan)
+emit_plan_jit = jax.jit(emit_plan, static_argnames=("lc",))

@@ -28,6 +28,7 @@ Reference unit of work: one full exact re-cost per chain per call
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -654,14 +655,26 @@ def choose_tile(n: int, cb: int = 128) -> int:
     consistently across passes (both sides of the snapshot use the same
     division), and flooring only moves them earlier, which is always
     valid."""
-    budget = 14 << 20
-    probs = 3 * PACKED_ROWS * cb * 4
-    t = 256
-    while t < MAX_TILE and t * 16 < n:
-        t2 = t * 2
-        if probs + t2 * 16 * (cb + 16) > budget:
-            break
-        t = t2
+    env = os.environ.get("MEGALANIA_TILE")
+    if env:                       # perf-probe / tuning override
+        return max(1, min(int(env), MAX_TILE, n))
+
+    def grow(budget: int) -> int:
+        probs = 3 * PACKED_ROWS * cb * 4
+        t = 256
+        while t < MAX_TILE and t * 16 < n:
+            t2 = t * 2
+            if probs + t2 * 16 * (cb + 16) > budget:
+                break
+            t = t2
+        return t
+    t = grow(int(os.environ.get("MEGALANIA_VMEM_BUDGET_MB", "14")) << 20)
+    if -(-n // t) > 64:
+        # too many grid steps starve the pipeline (measured r4: cb=512
+        # n=64Ki at tile=256 is 1.8x slower than tile=512 — and that
+        # shape also hit a TPU kernel fault); spend the last ~1.5 MiB of
+        # VMEM head-room on a bigger tile before accepting >64 tiles
+        t = max(t, grow(15500 << 10))
     return max(1, min(t, MAX_TILE, n))
 
 

@@ -91,7 +91,7 @@ def _rt_class(t: int):
     return ClassSpec(f"rt{t}", ids), offs
 
 
-def _build():
+def _build(lc: int = 0):
     classes = [
         ClassSpec("ismatch", T.IS_MATCH + np.arange(12)),
         ClassSpec("isrep", T.IS_REP + np.arange(12)),
@@ -109,7 +109,9 @@ def _build():
         spec, offs = _rt_class(t)
         classes.append(spec)
         rt_offs[t] = offs
-    classes.append(ClassSpec("lit", T.LIT + np.arange(0x300)))
+    # the literal class covers all 2^lc contexts (lc>0 only grows this
+    # tail class; every other class offset is lc-independent)
+    classes.append(ClassSpec("lit", T.LIT + np.arange(T.lit_size(lc))))
 
     row = 0
     by_name = {}
@@ -120,59 +122,86 @@ def _build():
 
     flat_all = np.concatenate([c.flat for c in classes])
     assert len(np.unique(flat_all)) == len(flat_all), "overlapping classes"
-    assert flat_all.min() >= 0 and flat_all.max() < T.NUM_PROBS
+    assert flat_all.min() >= 0 and flat_all.max() < T.num_probs(lc)
 
     # flat -> packed row (or -1 for flat slots no class covers: the
     # layout's alignment pads, which stay at PROB_INIT forever)
-    perm = np.full(T.NUM_PROBS, -1, np.int32)
+    perm = np.full(T.num_probs(lc), -1, np.int32)
     for c in classes:
         perm[c.flat] = c.row0 + np.arange(c.width)
     return classes, by_name, row, perm, rt_offs
 
 
-CLASSES, BY_NAME, PACKED_ROWS, FLAT_TO_PACKED, RT_OFFSETS = _build()
+class Layout:
+    """All packed-layout tables for one lc (ops/tables.py flat layout of
+    the same lc on the other side).  lc=0 is the module-level default;
+    lc>0 only widens the trailing `lit` class."""
 
-# kernel-facing row offsets
-ROW = {c.name: c.row0 for c in CLASSES}
-WIDTH = {c.name: c.width for c in CLASSES}
-ROWS = {c.name: c.rows for c in CLASSES}
+    def __init__(self, lc: int = 0):
+        self.lc = lc
+        (self.CLASSES, self.BY_NAME, self.PACKED_ROWS,
+         self.FLAT_TO_PACKED, self.RT_OFFSETS) = _build(lc)
+        self.ROW = {c.name: c.row0 for c in self.CLASSES}
+        self.WIDTH = {c.name: c.width for c in self.CLASSES}
+        self.ROWS = {c.name: c.rows for c in self.CLASSES}
+        self.PACKED_TO_FLAT = np.full(self.PACKED_ROWS, -1, np.int32)
+        for c in self.CLASSES:
+            self.PACKED_TO_FLAT[c.row0:c.row0 + c.width] = c.flat
+        self.F2P_PAD = np.full(T.probs_pad(lc), -1, np.int32)
+        self.F2P_PAD[:T.num_probs(lc)] = self.FLAT_TO_PACKED
+
+    def flat_from_packed(self, packed_cT):
+        """[C, PACKED_ROWS] -> [C, PROBS_PAD] flat probability vectors.
+
+        Uncovered flat slots (alignment pads) are PROB_INIT; PROBS_PAD
+        tail padding is 0, matching tables.init_probs_np.
+        """
+        import jax.numpy as jnp
+        C = packed_cT.shape[0]
+        out = jnp.full((C, T.probs_pad(self.lc)), 0, jnp.int32)
+        base = jnp.where(jnp.asarray(self.FLAT_TO_PACKED) >= 0,
+                         jnp.take(packed_cT,
+                                  jnp.maximum(
+                                      jnp.asarray(self.FLAT_TO_PACKED), 0),
+                                  axis=1),
+                         T.PROB_INIT)
+        return out.at[:, :T.num_probs(self.lc)].set(base)
+
+    def packed_from_flat(self, flat_c):
+        """[C, PROBS_PAD] flat vectors -> [C, PACKED_ROWS] class layout.
+
+        Alignment pad rows get PROB_INIT (they are never read by slot
+        math, but keeping them at init matches a fresh kernel state
+        bit-for-bit).
+        """
+        import jax.numpy as jnp
+        idx = jnp.asarray(np.maximum(self.PACKED_TO_FLAT, 0))
+        g = jnp.take(flat_c, idx, axis=1)
+        return jnp.where(jnp.asarray(self.PACKED_TO_FLAT) >= 0, g,
+                         T.PROB_INIT)
 
 
-def flat_from_packed(packed_cT: np.ndarray) -> np.ndarray:
-    """[C, PACKED_ROWS] -> [C, PROBS_PAD] flat probability vectors.
-
-    Uncovered flat slots (alignment pads) are PROB_INIT; PROBS_PAD tail
-    padding is 0, matching tables.init_probs_np.
-    """
-    import jax.numpy as jnp
-    C = packed_cT.shape[0]
-    out = jnp.full((C, T.PROBS_PAD), 0, jnp.int32)
-    base = jnp.where(jnp.asarray(FLAT_TO_PACKED) >= 0,
-                     jnp.take(packed_cT,
-                              jnp.maximum(jnp.asarray(FLAT_TO_PACKED), 0),
-                              axis=1),
-                     T.PROB_INIT)
-    return out.at[:, :T.NUM_PROBS].set(base)
+_LAYOUTS: dict = {}
 
 
-# packed row -> flat slot (or -1 for alignment pad rows)
-PACKED_TO_FLAT = np.full(PACKED_ROWS, -1, np.int32)
-for _c in CLASSES:
-    PACKED_TO_FLAT[_c.row0:_c.row0 + _c.width] = _c.flat
+def get_layout(lc: int = 0) -> Layout:
+    if lc not in _LAYOUTS:
+        _LAYOUTS[lc] = Layout(lc)
+    return _LAYOUTS[lc]
 
-# flat slot -> packed row over the padded flat range (DEAD_SLOT lives in
-# the pad tail); traced-argument form for jitted consumers
-F2P_PAD = np.full(T.PROBS_PAD, -1, np.int32)
-F2P_PAD[:T.NUM_PROBS] = FLAT_TO_PACKED
+
+# lc=0 module-level tables (historical interface; the kernels and most
+# callers run the lc=0 model, matching the reference's hardcoded lc=0)
+_L0 = get_layout(0)
+CLASSES, BY_NAME, PACKED_ROWS = _L0.CLASSES, _L0.BY_NAME, _L0.PACKED_ROWS
+FLAT_TO_PACKED, RT_OFFSETS = _L0.FLAT_TO_PACKED, _L0.RT_OFFSETS
+ROW, WIDTH, ROWS = _L0.ROW, _L0.WIDTH, _L0.ROWS
+PACKED_TO_FLAT, F2P_PAD = _L0.PACKED_TO_FLAT, _L0.F2P_PAD
+
+
+def flat_from_packed(packed_cT):
+    return _L0.flat_from_packed(packed_cT)
 
 
 def packed_from_flat(flat_c):
-    """[C, PROBS_PAD] flat vectors -> [C, PACKED_ROWS] class layout.
-
-    Alignment pad rows get PROB_INIT (they are never read by slot math,
-    but keeping them at init matches a fresh kernel state bit-for-bit).
-    """
-    import jax.numpy as jnp
-    idx = jnp.asarray(np.maximum(PACKED_TO_FLAT, 0))
-    g = jnp.take(flat_c, idx, axis=1)
-    return jnp.where(jnp.asarray(PACKED_TO_FLAT) >= 0, g, T.PROB_INIT)
+    return _L0.packed_from_flat(flat_c)

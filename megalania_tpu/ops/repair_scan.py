@@ -133,7 +133,7 @@ def _repair_entry(i, ptype, dist, length, carry: RepairCarry, data,
 
 def repair_step(carry: RepairCarry, i, entry, q, u, data, cand_d_row,
                 cand_l_row, log2, site_mode="byte",
-                lrep_fallback="litsrep", start_pos=0):
+                lrep_fallback="litsrep", start_pos=0, lc: int = 0):
     n = data.shape[0]
     active = i == carry.live_pos
 
@@ -167,14 +167,16 @@ def repair_step(carry: RepairCarry, i, entry, q, u, data, cand_d_row,
 
     byte = data[i]
     match_byte = data[jnp.clip(i - carry.dists[0] - 1, 0, n - 1)]
+    prev_byte = jnp.where(i > 0, data[jnp.maximum(i - 1, 0)], 0)
     plan = bitplan.make_bit_plan(
-        ptype, dist, length, carry.ctx, carry.dists, byte, match_byte
+        ptype, dist, length, carry.ctx, carry.dists, byte, match_byte,
+        prev_byte=prev_byte, lc=lc,
     )
     plan = plan._replace(
         active=plan.active & active,
         n_direct=jnp.where(active, plan.n_direct, 0),
     )
-    probs, cost = bitplan.apply_plan(carry.probs, plan, log2)
+    probs, cost = bitplan.apply_plan(carry.probs, plan, log2, lc=lc)
     hi, lo = fp.accumulate(carry.cost_hi, carry.cost_lo, cost)
 
     out_entry = jnp.where(
@@ -204,10 +206,11 @@ def repair_step(carry: RepairCarry, i, entry, q, u, data, cand_d_row,
     return carry, out_entry
 
 
-def _init_carry(C: int) -> RepairCarry:
+def _init_carry(C: int, lc: int = 0) -> RepairCarry:
     return RepairCarry(
-        probs=jnp.broadcast_to(jnp.asarray(T.init_probs_np(), jnp.int32),
-                               (C, T.PROBS_PAD)),
+        probs=jnp.broadcast_to(
+            jnp.asarray(T.init_probs_np(lc=lc), jnp.int32),
+            (C, T.probs_pad(lc))),
         ctx=jnp.zeros(C, jnp.int32),
         dists=jnp.zeros((C, 4), jnp.int32),
         live_pos=jnp.zeros(C, jnp.int32),
@@ -252,7 +255,7 @@ def repair_cost_batched(slabs, q, u, data, cand_dist, cand_len, log2,
                         unroll: int = 1, site_mode: str = "byte",
                         lrep_fallback: str = "litsrep",
                         start_pos=None, cap_pos=None,
-                        probs_in=None, carry_in=None):
+                        probs_in=None, carry_in=None, lc: int = 0):
     """Run the fused pass for C chains in one scan.
 
     slabs: uint32[C, n] mutated slabs; q, u: int32[C];
@@ -285,7 +288,7 @@ def repair_cost_batched(slabs, q, u, data, cand_dist, cand_len, log2,
     if cap_pos is None:
         cap_pos = jnp.int32(n)
     if probs_in is None:
-        carry0 = _init_carry(C)
+        carry0 = _init_carry(C, lc)
     else:
         carry0 = carry_from16(probs_in, carry_in)
     snap0 = (carry0.probs, carry_to16(carry0))
@@ -307,7 +310,7 @@ def repair_cost_batched(slabs, q, u, data, cand_dist, cand_len, log2,
         body = jax.vmap(
             functools.partial(repair_step, site_mode=site_mode,
                               lrep_fallback=lrep_fallback,
-                              start_pos=start_pos),
+                              start_pos=start_pos, lc=lc),
             in_axes=(0, None, 0, 0, 0, None, None, None, None),
         )
         carry, outs = body(carry, i, entries, q, u, d, cd_row, cl_row, lg)

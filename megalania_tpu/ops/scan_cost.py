@@ -29,9 +29,9 @@ class CostCarry(NamedTuple):
     cost_lo: jnp.ndarray  # int32
 
 
-def init_carry() -> CostCarry:
+def init_carry(lc: int = 0) -> CostCarry:
     return CostCarry(
-        probs=jnp.asarray(T.init_probs_np(), jnp.int32),
+        probs=jnp.asarray(T.init_probs_np(lc=lc), jnp.int32),
         ctx=jnp.int32(0),
         dists=jnp.zeros(4, jnp.int32),
         live_pos=jnp.int32(0),
@@ -40,16 +40,18 @@ def init_carry() -> CostCarry:
     )
 
 
-def packet_step(carry: CostCarry, i, entry, data, log2):
+def packet_step(carry: CostCarry, i, entry, data, log2, lc: int = 0):
     """Process slab position i.  Returns (carry', live_flag)."""
     active = i == carry.live_pos
     ptype, dist, length, _ = P.unpack(entry)
     byte = data[i]
     mb_idx = jnp.clip(i - carry.dists[0] - 1, 0, data.shape[0] - 1)
     match_byte = data[mb_idx]
+    prev_byte = jnp.where(i > 0, data[jnp.maximum(i - 1, 0)], 0)
 
     plan = bitplan.make_bit_plan(
-        ptype, dist, length, carry.ctx, carry.dists, byte, match_byte
+        ptype, dist, length, carry.ctx, carry.dists, byte, match_byte,
+        prev_byte=prev_byte, lc=lc,
     )
     plan = bitplan.BitPlan(
         idx=plan.idx,
@@ -58,7 +60,7 @@ def packet_step(carry: CostCarry, i, entry, data, log2):
         n_direct=jnp.where(active, plan.n_direct, 0),
         direct_val=plan.direct_val,
     )
-    probs, cost = bitplan.apply_plan(carry.probs, plan, log2)
+    probs, cost = bitplan.apply_plan(carry.probs, plan, log2, lc=lc)
     hi, lo = fp.accumulate(carry.cost_hi, carry.cost_lo, cost)
     return CostCarry(
         probs=probs,
@@ -70,7 +72,7 @@ def packet_step(carry: CostCarry, i, entry, data, log2):
     ), active
 
 
-def parse_cost(slab, data, log2, unroll: int = 1):
+def parse_cost(slab, data, log2, unroll: int = 1, lc: int = 0):
     """Exact cost of one parse.
 
     slab: uint32[n] packed packets; data: int32[n] bytes; log2: the cost
@@ -81,20 +83,21 @@ def parse_cost(slab, data, log2, unroll: int = 1):
 
     def step(carry, xs):
         i, entry = xs
-        carry, live = packet_step(carry, i, entry, data, log2)
+        carry, live = packet_step(carry, i, entry, data, log2, lc=lc)
         return carry, live
 
     carry, live = jax.lax.scan(
         step,
-        init_carry(),
+        init_carry(lc),
         (jnp.arange(n, dtype=jnp.int32), slab),
         unroll=unroll,
     )
     return carry.cost_hi, carry.cost_lo, carry.probs, live
 
 
-_parse_cost_jit = jax.jit(parse_cost, static_argnames=("unroll",))
+_parse_cost_jit = jax.jit(parse_cost, static_argnames=("unroll", "lc"))
 
 
-def parse_cost_jit(slab, data, unroll: int = 1):
-    return _parse_cost_jit(slab, data, jnp.asarray(T.LOG2_TABLE_I32), unroll=unroll)
+def parse_cost_jit(slab, data, unroll: int = 1, lc: int = 0):
+    return _parse_cost_jit(slab, data, jnp.asarray(T.LOG2_TABLE_I32),
+                           unroll=unroll, lc=lc)

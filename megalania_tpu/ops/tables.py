@@ -70,7 +70,33 @@ PROBS_PAD = 1920               # pad: multiple of 128 lanes / 8 sublanes,
 #                                with head-room for DEAD_SLOT
 DEAD_SLOT = PROBS_PAD - 1      # scatter target for masked-out bit ops
 
+
+# ---------------------------------------------------------------------------
+# lc > 0 layouts.  The literal coder is the LAST group of the flat
+# layout, so literal-context support (lc bits of the previous byte select
+# one of 2^lc literal prob sub-tables, LZMA spec; the reference hardcodes
+# lc=0 with a todo, lzma_packet_encoder.c:113) only GROWS the tail: every
+# group offset above stays valid for any lc.  lp/pb stay 0.
+# ---------------------------------------------------------------------------
+
+def lit_size(lc: int = 0) -> int:
+    return 0x300 << lc
+
+
+def num_probs(lc: int = 0) -> int:
+    return LIT + lit_size(lc)
+
+
+def probs_pad(lc: int = 0) -> int:
+    return -(-(num_probs(lc) + 1) // 128) * 128   # room for DEAD_SLOT
+
+
+def dead_slot(lc: int = 0) -> int:
+    return probs_pad(lc) - 1
+
+
 assert NUM_PROBS == 1792
+assert num_probs(0) == NUM_PROBS and probs_pad(0) == PROBS_PAD
 assert LIT % 8 == 0 and LEN % 8 == 0 and REP_LEN % 8 == 0
 assert DIST_SLOT % 8 == 0 and ALIGN % 8 == 0 and POS_CODER % 8 == 0
 assert DEAD_SLOT >= NUM_PROBS
@@ -93,10 +119,10 @@ LOG2_TABLE_NP = make_log2_table()          # int64 numpy master copy
 LOG2_TABLE_I32 = LOG2_TABLE_NP.astype(np.int32)  # max value 11*2048 fits easily
 
 
-def init_probs_np(batch_shape: tuple = ()) -> np.ndarray:
+def init_probs_np(batch_shape: tuple = (), lc: int = 0) -> np.ndarray:
     """Fresh probability vector(s): every real slot = PROB_INIT, padding = 0."""
-    probs = np.zeros(batch_shape + (PROBS_PAD,), dtype=np.int32)
-    probs[..., :NUM_PROBS] = PROB_INIT
+    probs = np.zeros(batch_shape + (probs_pad(lc),), dtype=np.int32)
+    probs[..., :num_probs(lc)] = PROB_INIT
     return probs
 
 

@@ -63,7 +63,7 @@ def native_available() -> bool:
 
 
 def emit_from_opstream(idx, bit, active, n_direct, direct_val,
-                       header: bytes) -> bytes:
+                       header: bytes, lc: int = 0) -> bytes:
     """Replay an op stream (numpy arrays) through the native range coder."""
     fn = _load_native()
     idx = np.ascontiguousarray(idx, np.int32)
@@ -83,7 +83,7 @@ def emit_from_opstream(idx, bit, active, n_direct, direct_val,
     size = fn(
         p(idx, ctypes.c_int32), p(bit, ctypes.c_int32),
         p(active, ctypes.c_uint8), p(n_direct, ctypes.c_int32),
-        p(direct_val, ctypes.c_int32), n, nslots, 20, T.NUM_PROBS,
+        p(direct_val, ctypes.c_int32), n, nslots, 20, T.num_probs(lc),
         p(np.ascontiguousarray(hdr), ctypes.c_uint8), len(header),
         p(out, ctypes.c_uint8), cap,
     )
@@ -92,13 +92,16 @@ def emit_from_opstream(idx, bit, active, n_direct, direct_val,
     return out[:size].tobytes()
 
 
-def emit(data: bytes, slab: np.ndarray, dict_size: int = 0x400000) -> bytes:
+def emit(data: bytes, slab: np.ndarray, dict_size: int = 0x400000,
+         lc: int = 0) -> bytes:
     """Parse -> complete .lzma stream (native path, Python fallback)."""
     if _load_native() is None or len(data) == 0:
-        return pyemit.emit(data, slab, dict_size=dict_size)
+        return pyemit.emit(data, slab, dict_size=dict_size, lc=lc)
     d = jnp.asarray(np.frombuffer(data, np.uint8).astype(np.int32))
     idx, bit, active, n_direct, direct_val = (
-        np.asarray(a) for a in emit_plan.emit_plan_jit(jnp.asarray(slab), d)
+        np.asarray(a) for a in emit_plan.emit_plan_jit(jnp.asarray(slab), d,
+                                                       lc=lc)
     )
-    header = pyemit.lzma_header(len(data), dict_size=dict_size)
-    return emit_from_opstream(idx, bit, active, n_direct, direct_val, header)
+    header = pyemit.lzma_header(len(data), lc=lc, dict_size=dict_size)
+    return emit_from_opstream(idx, bit, active, n_direct, direct_val,
+                              header, lc=lc)

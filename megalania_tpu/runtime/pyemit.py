@@ -90,10 +90,11 @@ class RangeSink:
 class Encoder:
     """Adaptive packet encoder over a pluggable sink."""
 
-    def __init__(self, data: bytes, sink):
+    def __init__(self, data: bytes, sink, lc: int = 0):
         self.data = data
         self.sink = sink
-        self.probs = T.init_probs_np()
+        self.lc = lc
+        self.probs = T.init_probs_np(lc=lc)
         self.ctx = 0
         self.dists = [0, 0, 0, 0]
         self.pos = 0
@@ -180,10 +181,14 @@ class Encoder:
         byte = self.data[self.pos]
         matched = self.ctx >= 7
         match_byte = self.data[self.pos - self.dists[0] - 1] if matched else 0
+        # lc literal-context bits of the previous byte select the
+        # sub-table (LZMA spec; lc=0 reproduces the reference exactly)
+        prev = self.data[self.pos - 1] if self.pos > 0 else 0
+        base = T.LIT + ((prev >> (8 - self.lc)) * 0x300 if self.lc else 0)
         symbol = 1
         for i in range(7, -1, -1):
             bit = (byte >> i) & 1
-            slot = T.LIT + symbol
+            slot = base + symbol
             if matched:
                 mbit = (match_byte >> i) & 1
                 slot += (1 + mbit) << 8
@@ -222,10 +227,10 @@ def walk_slab(slab: np.ndarray):
         pos += int(length[pos])
 
 
-def parse_cost(data: bytes, slab: np.ndarray) -> int:
+def parse_cost(data: bytes, slab: np.ndarray, lc: int = 0) -> int:
     """Exact perplexity (bits << 11) of the parse; oracle for the JAX scan."""
     sink = CostSink()
-    enc = Encoder(data, sink)
+    enc = Encoder(data, sink, lc=lc)
     for _, t, d, l in walk_slab(slab):
         enc.encode_packet(t, d, l)
     return sink.perplexity
@@ -236,10 +241,12 @@ def lzma_header(data_size: int, lc=0, lp=0, pb=0, dict_size=0x400000) -> bytes:
     return struct.pack("<BIQ", props, dict_size, data_size)
 
 
-def emit(data: bytes, slab: np.ndarray, dict_size=0x400000) -> bytes:
+def emit(data: bytes, slab: np.ndarray, dict_size=0x400000,
+         lc: int = 0) -> bytes:
     """Produce a complete .lzma (LZMA-alone) stream for the parse."""
     sink = RangeSink()
-    enc = Encoder(data, sink)
+    enc = Encoder(data, sink, lc=lc)
     for _, t, d, l in walk_slab(slab):
         enc.encode_packet(t, d, l)
-    return lzma_header(len(data), dict_size=dict_size) + sink.flush()
+    return lzma_header(len(data), lc=lc,
+                       dict_size=dict_size) + sink.flush()

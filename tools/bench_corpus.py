@@ -132,13 +132,15 @@ def main():
     ap.add_argument("--iters-per-epoch", type=int, default=None)
     ap.add_argument("--num-epochs", type=int, default=200)
     ap.add_argument("--init", default="mixed")
+    ap.add_argument("--lc", type=int, default=0)
     args = ap.parse_args()
     overrides = dict(sublens=args.sublens, site_schedule=args.site_schedule,
                      sweep_repeats=args.sweep_repeats,
                      lrep_fallback=args.lrep_fallback,
                      site_mode=args.site_mode, proposals=args.proposals,
                      iters_per_epoch=args.iters_per_epoch,
-                     num_epochs=args.num_epochs, init=args.init)
+                     num_epochs=args.num_epochs, init=args.init,
+                     lc=args.lc)
     sizes = [int(s) for s in args.sizes.split(",")]
 
     have_ref = (not args.skip_ref) and ensure_ref()

@@ -22,7 +22,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from megalania_tpu import compressor
 from megalania_tpu.anneal.config import AnnealConfig
 
-CHAINS = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+CHAINS = int(sys.argv[2]) if len(sys.argv) > 2 else 512
 MOVES_PER_BLOCK = int(sys.argv[1]) if len(sys.argv) > 1 else 256 * CHAINS
 TARGET = 1 << 20
 
@@ -47,7 +47,9 @@ def build_corpus() -> bytes:
 
 def main():
     data = build_corpus()
-    cfg = AnnealConfig(chains=CHAINS, chain_block=min(CHAINS, 256))
+    cb = (max(d for d in (512, 384, 256, 128) if CHAINS % d == 0)
+          if CHAINS % 128 == 0 else 128)
+    cfg = AnnealConfig(chains=CHAINS, chain_block=cb)
     n_blocks = -(-len(data) // cfg.block_size)
     total = MOVES_PER_BLOCK * n_blocks
     t0 = time.time()

@@ -30,7 +30,7 @@ from megalania_tpu import compressor
 from megalania_tpu.anneal.config import AnnealConfig
 
 N = 1 << 16
-CHAINS = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+CHAINS = int(sys.argv[2]) if len(sys.argv) > 2 else 512
 MOVES = int(sys.argv[1]) if len(sys.argv) > 1 else 128 * CHAINS
 
 
@@ -45,8 +45,9 @@ def main():
             raw += open(p, "rb").read()
     data = (raw * (N // len(raw) + 1))[:N]
 
-    cfg = AnnealConfig(chains=CHAINS, chain_block=min(CHAINS, 256),
-                       block_size=N)
+    cb = (max(d for d in (512, 384, 256, 128) if CHAINS % d == 0)
+          if CHAINS % 128 == 0 else 128)
+    cfg = AnnealConfig(chains=CHAINS, chain_block=cb, block_size=N)
     t0 = time.time()
     res = compressor.compress_block(data, cfg, total_moves=MOVES)
     dt = time.time() - t0
