@@ -49,6 +49,11 @@ class AnnealConfig:
     # binary corpora by ~4%, literal won text by ~1% at matched budget).
     # Greedy seeding is decisive at low budgets on large blocks.
     init: str = "mixed"
+    # fraction of chains seeded from the greedy parse under init="mixed"
+    # (rounded to eighths; the rest start all-literals).  0.5 is the
+    # historical half/half; lower favors text, higher favors binary
+    # (PERF.md r3: the mixed tradeoff was binary -4% / text +1%).
+    mixed_greedy_frac: float = 0.5
 
     # parallel structure
     chains: int = 64                   # parallel annealing chains per block

@@ -46,15 +46,23 @@ class BlockContext(NamedTuple):
     init_slab: jnp.ndarray   # uint32[n] initial parse (cfg.init)
 
 
+def _lc_fits_vmem(cfg: AnnealConfig) -> bool:
+    """The kernel's 3 probability buffers (in/out/scratch) must leave
+    tile head-room in the ~16 MiB VMEM; lc widens the literal class
+    (rows = 0x300 << lc), so lc=3 caps the lane block at 128."""
+    rows = problayout.get_layout(cfg.lc).PACKED_ROWS
+    return 3 * rows * cfg.chain_block * 4 <= (13 << 20)
+
+
 def resolve_kernel(cfg: AnnealConfig) -> str:
     """Pick the fused-pass kernel: 'pallas2' (class-decomposed) on a real
     TPU backend when the chain count allows a 128-lane block, 'xla'
     elsewhere — unless forced by cfg.kernel.
 
-    lc > 0 currently runs on the XLA path only: the v2 kernel's VMEM
-    probability buffers are sized for the lc=0 model (a 2^lc literal
-    class would cap the lane block at 128; see VERDICT r3 item 8)."""
-    if cfg.lc > 0:
+    lc > 0 runs on the kernel too (the literal context is a scalar row
+    offset, pallas_repair2._kernel), but the widened literal class must
+    fit the VMEM probability buffers — else fall back to XLA."""
+    if cfg.lc > 0 and not _lc_fits_vmem(cfg):
         return "xla"
     if cfg.kernel != "auto":
         return cfg.kernel
@@ -117,7 +125,7 @@ def _repair_cost(state_slabs, q, u, ctx: BlockContext, cfg: AnnealConfig,
     assert mut0 is None or kernel == "pallas2"
     n = ctx.data.shape[0]
     if kernel == "pallas2":
-        tile = pallas_repair2.choose_tile(n, cfg.chain_block)
+        tile = pallas_repair2.choose_tile(n, cfg.chain_block, cfg.lc)
         return pallas_repair2.repair_cost_pallas2(
             state_slabs, q, u, ctx.data, ctx.data_packed, ctx.cand_dist,
             ctx.cand_len, ctx.corr, cb=cfg.chain_block,
@@ -127,7 +135,7 @@ def _repair_cost(state_slabs, q, u, ctx: BlockContext, cfg: AnnealConfig,
             mut0=mut0, mut1=mut1,
             start_tile=None if start_pos is None else start_pos // tile,
             cap_tile=None if cap_pos is None else cap_pos // tile,
-            probs_in=probs_in, carry_in=carry_in,
+            probs_in=probs_in, carry_in=carry_in, lc=cfg.lc,
         )
     lay = problayout.get_layout(cfg.lc)
     out = repair_scan.repair_cost_batched(
@@ -209,11 +217,18 @@ def init_state(ctx: BlockContext, cfg: AnnealConfig) -> AnnealState:
     C = cfg.chains
     slab0 = jnp.broadcast_to(ctx.init_slab, (C, n))
     if cfg.init == "mixed":
-        # half the chains start from the all-literals parse: the first
-        # epoch's best-exchange keeps whichever start suits the data
+        # a cfg.mixed_greedy_frac share of chains start from the greedy
+        # parse, the rest from all-literals: the first epoch's
+        # best-exchange keeps whichever start suits the data.  The
+        # period-8 pattern spreads both kinds across contiguous chain
+        # shards (mesh sharding slices chains in order).
         lit = jnp.asarray(P.literal_slab(n))
-        half = (jnp.arange(C) % 2 == 1)[:, None]
-        slab0 = jnp.where(half, lit, slab0)
+        g8 = max(0, min(8, round(cfg.mixed_greedy_frac * 8)))
+        # (i*g8 % 8) >= g8 interleaves the two kinds with period <= 8
+        # and reduces to the historical odd-chains-literal pattern at
+        # the 0.5 default (bit-compatible with the r3 benchmarks)
+        use_lit = ((jnp.arange(C) * g8 % 8) >= g8)[:, None]
+        slab0 = jnp.where(use_lit, lit, slab0)
     all_keys = jax.random.split(jax.random.PRNGKey(cfg.seed), C + 1)
     keys, skey = all_keys[:C], all_keys[C]
     ks = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
@@ -272,11 +287,13 @@ def _propose(slabs, q, rec_ctx, rec_dists, rank_probs, keys,
         candp = P.pack(cands.ptype, cands.dist, cands.length,
                        cands.valid.astype(jnp.int32))
         mb = ctx.data[jnp.clip(qc - rec_dists[:, 0] - 1, 0, n - 1)]
+        prev = jnp.where(qc > 0, ctx.data[jnp.maximum(qc - 1, 0)], 0)
         metric = pallas_rank.rank_pallas(
             rank_probs, candp, rec_ctx, rec_dists,
             ctx.data[qc], mb, ctx.log2, ctx.f2p, ctx.corr,
             cb=cfg.chain_block,
-            interpret=jax.default_backend() != "tpu")
+            interpret=jax.default_backend() != "tpu",
+            prev_byte=prev, lc=cfg.lc)
         if fused_mut:
             v0, v1 = jax.vmap(
                 functools.partial(moves.select_mutation, top_k=cfg.top_k),
@@ -326,7 +343,7 @@ def _chains_iter(state: AnnealState, ctx: BlockContext, step,
     skey_next, k_su = sk[0], sk[1]
 
     if sched == "sweep":
-        tile = pallas_repair2.choose_tile(n, cfg.chain_block)
+        tile = pallas_repair2.choose_tile(n, cfg.chain_block, cfg.lc)
         j = state.sweep_j                # pass counter within the sweep
         fresh_sweep = j == 0
         # start at the held snapshot (fresh init state at sweep start)
@@ -503,7 +520,7 @@ def anneal_iteration(state: AnnealState, ctx: BlockContext,
     # resets to the fresh full-walk stratum 0 (the reseeded slab
     # invalidates the snapshot)
     if sched == "sweep":
-        tile = pallas_repair2.choose_tile(n, cfg.chain_block)
+        tile = pallas_repair2.choose_tile(n, cfg.chain_block, cfg.lc)
         n_tiles = -(-n // tile)
         sweep_len = n_tiles * cfg.sweep_repeats
         j_next = state.sweep_j + 1

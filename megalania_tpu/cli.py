@@ -64,6 +64,9 @@ def main(argv=None):
                    choices=["greedy", "literal", "mixed"],
                    help="initial parse (greedy longest-match or the "
                    "reference's all-literals)")
+    c.add_argument("--mixed-greedy-frac", type=float, default=0.5,
+                   help="greedy share of chains under --init mixed "
+                   "(rounded to eighths)")
     c.add_argument("--lc", type=int, default=0,
                    help="literal context bits (xz defaults to 3; the "
                    "reference only supports 0). lc>0 runs the XLA "
@@ -127,6 +130,7 @@ def main(argv=None):
             site_mode=args.site_mode, lrep_fallback=args.lrep_fallback,
             sublens=args.sublens, init=args.init,
             site_schedule=args.site_schedule, lc=args.lc,
+            mixed_greedy_frac=args.mixed_greedy_frac,
         )
         progress = None if args.quiet else _progress_printer(time.time())
         metrics = None

@@ -174,26 +174,31 @@ def _kernel(probs_ref, cand_ref, st_ref, corrw_ref, rtoff_ref,
     jax.lax.fori_loop(0, NC, body, 0)
 
 
-def _lit_metric(probsC, rec_ctx, rec_dists, byte, match_byte, log2, f2p):
+def _lit_metric(probsC, rec_ctx, rec_dists, byte, match_byte, log2, f2p,
+                prev_byte, lc):
     """Exact literal-packet cost per chain via the flat bit plan.
 
     One candidate per chain, so the XLA gather path is cheap; moved out
     of the kernel because its masked 768-row lit-class gathers made the
-    Mosaic compile intractable (PERF.md).  len(lit)=1 => metric = cost."""
+    Mosaic compile intractable (PERF.md).  len(lit)=1 => metric = cost.
+    The lc literal context rides this path too — the in-kernel
+    candidates (match/rep) never touch the literal class."""
     from . import bitplan
 
-    def one(rp, rc, rd, b, m):
+    def one(rp, rc, rd, b, m, pv):
         plan = bitplan.make_bit_plan(jnp.int32(P.LIT), jnp.int32(0),
-                                     jnp.int32(1), rc, rd, b, m)
-        return bitplan.plan_cost_packed(rp, plan, log2, f2p)
+                                     jnp.int32(1), rc, rd, b, m,
+                                     prev_byte=pv, lc=lc)
+        return bitplan.plan_cost_packed(rp, plan, log2, f2p, lc=lc)
 
-    return jax.vmap(one)(probsC, rec_ctx, rec_dists, byte, match_byte)
+    return jax.vmap(one)(probsC, rec_ctx, rec_dists, byte, match_byte,
+                         jnp.broadcast_to(prev_byte, byte.shape))
 
 
-@functools.partial(jax.jit, static_argnames=("cb", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cb", "interpret", "lc"))
 def rank_pallas(probsC, candp, rec_ctx, rec_dists, byte, match_byte,
                 log2, f2p, corr, cb: int = 128,
-                interpret: bool = False):
+                interpret: bool = False, prev_byte=0, lc: int = 0):
     """probsC: [C, PACKED_ROWS] packed class probs (chain-major);
     candp: [C, NC] packed candidate entries (live bit = valid);
     byte/match_byte: data byte at the site / byte one rep0 back;
@@ -215,15 +220,16 @@ def rank_pallas(probsC, candp, rec_ctx, rec_dists, byte, match_byte,
     st = st.at[ST_D3].set(rec_dists[:, 3])
 
     candT = jnp.pad(jnp.transpose(candp), ((0, NCp - NC), (0, 0)))
-    probsT = jnp.transpose(probsC)          # [PACKED_ROWS, C]
+    probsT = jnp.transpose(probsC)          # [PROWS, C]
     rtoff = jnp.asarray(rt_offset_table())
+    PROWS = PL.get_layout(lc).PACKED_ROWS   # lc only widens the lit tail
 
     kern = functools.partial(_kernel, NC=NCp, CB=cb)
     out = pl.pallas_call(
         kern,
         grid=(C // cb,),
         in_specs=[
-            pl.BlockSpec((PACKED_ROWS, cb), lambda g: (0, g),
+            pl.BlockSpec((PROWS, cb), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((NCp, cb), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
@@ -242,7 +248,7 @@ def rank_pallas(probsC, candp, rec_ctx, rec_dists, byte, match_byte,
     metric = jnp.transpose(out[:NC, :])
 
     lit_cost = _lit_metric(probsC, rec_ctx, rec_dists, byte, match_byte,
-                           log2, f2p)                        # [C]
+                           log2, f2p, prev_byte, lc)         # [C]
     cand_type = (candp >> P.TYPE_SHIFT) & P.TYPE_MASK
     cand_valid = ((candp >> P.LIVE_SHIFT) & 1) == 1
     is_lit_cand = (cand_type == P.LIT) & cand_valid

@@ -203,11 +203,11 @@ def _bit_length(d):
 # The kernel
 # ---------------------------------------------------------------------------
 
-def _kernel(slabT_ref, qu_ref, sc_ref, data_ref, dpk_ref, cand_d_ref,
-            cand_l_ref, corrw_ref, rtoff_ref, probs_in_ref, carry_in_ref,
-            out_slabT_ref, snapP_ref, misc_ref,
+def _kernel(slabT_ref, qu_ref, sc_ref, data_ref, dprev_ref, dpk_ref,
+            cand_d_ref, cand_l_ref, corrw_ref, rtoff_ref, probs_in_ref,
+            carry_in_ref, out_slabT_ref, snapP_ref, misc_ref,
             s_ref, carry_ref, *, n, R, M, CB, TILE, BK, SITE,
-            FB):
+            FB, LC):
     """Grid = (chain_block, position_tile).  The probability state
     (s_ref) and the 16-row scan carry (carry_ref) persist in VMEM
     scratch across the position tiles of one chain block; tiled inputs
@@ -467,9 +467,17 @@ def _kernel(slabT_ref, qu_ref, sc_ref, data_ref, dpk_ref, cand_d_ref,
                 rev = (rev << 1) | bit
 
             # literal bits: 3 scalar-row reads + per-lane select; their
-            # cost rides the same batch, commits are scalar-row writes
+            # cost rides the same batch, commits are scalar-row writes.
+            # LC > 0: the data byte is shared by every lane, so the
+            # literal context (top LC bits of the PREVIOUS byte) is a
+            # SCALAR sub-table offset — lc costs two scalar ops here,
+            # not a wider gather (the dprev SMEM block avoids the
+            # tile-boundary read of data[i-1]).
             lit_active = active & is_lit
             L0 = ROW["lit"]
+            if LC:
+                prev = dprev_ref[off0 + ii]                   # scalar
+                L0 = L0 + (prev >> (8 - LC)) * 0x300
             prefix_eq = jnp.ones((1, CB), jnp.int32)
             ctx_ge7 = ctx >= 7
             lit_sel = []
@@ -642,7 +650,7 @@ def _kernel(slabT_ref, qu_ref, sc_ref, data_ref, dpk_ref, cand_d_ref,
 MAX_TILE = 2048          # positions per grid step (VMEM budget, see below)
 
 
-def choose_tile(n: int, cb: int = 128) -> int:
+def choose_tile(n: int, cb: int = 128, lc: int = 0) -> int:
     """Positions per grid step.  Small tiles give the partial-re-cost
     sweep finer start granularity (skipped prefix rounds down to a tile
     boundary); large tiles amortize per-grid-step overhead.  Targets
@@ -660,7 +668,7 @@ def choose_tile(n: int, cb: int = 128) -> int:
         return max(1, min(int(env), MAX_TILE, n))
 
     def grow(budget: int) -> int:
-        probs = 3 * PACKED_ROWS * cb * 4
+        probs = 3 * PL.get_layout(lc).PACKED_ROWS * cb * 4
         t = 256
         while t < MAX_TILE and t * 16 < n:
             t2 = t * 2
@@ -680,14 +688,14 @@ def choose_tile(n: int, cb: int = 128) -> int:
 
 @functools.partial(jax.jit, static_argnames=("cb", "interpret",
                                               "site_mode",
-                                              "lrep_fallback"))
+                                              "lrep_fallback", "lc"))
 def repair_cost_pallas2(slabs, q, u, data, data_packed, cand_dist, cand_len,
                         corr, cb: int = 128, interpret: bool = False,
                         site_mode: str = "byte",
                         lrep_fallback: str = "litsrep",
                         mut0=None, mut1=None,
                         start_tile=None, cap_tile=None,
-                        probs_in=None, carry_in=None):
+                        probs_in=None, carry_in=None, lc: int = 0):
     """Fused repair+cost kernel with the class-decomposed layout;
     contract and results identical to repair_scan.repair_cost_batched.
 
@@ -718,8 +726,9 @@ def repair_cost_pallas2(slabs, q, u, data, data_packed, cand_dist, cand_len,
     if not interpret:
         assert cb % 128 == 0, f"v2 kernel needs cb%128==0 on TPU, got {cb}"
     grid = C // cb
+    PROWS = PL.get_layout(lc).PACKED_ROWS   # lc only widens the lit tail
 
-    tile = choose_tile(n, cb)
+    tile = choose_tile(n, cb, lc)
     n_tiles = -(-n // tile)
     n_pad = n_tiles * tile
 
@@ -728,7 +737,7 @@ def repair_cost_pallas2(slabs, q, u, data, data_packed, cand_dist, cand_len,
     if cap_tile is None:
         cap_tile = jnp.int32(n_tiles)
     if probs_in is None:
-        probs_in = jnp.full((C, PACKED_ROWS), T.PROB_INIT, jnp.int32)
+        probs_in = jnp.full((C, PROWS), T.PROB_INIT, jnp.int32)
     if carry_in is None:
         carry_in = jnp.zeros((C, 16), jnp.int32)
     sc = jnp.stack([jnp.asarray(start_tile, jnp.int32),
@@ -759,12 +768,18 @@ def repair_cost_pallas2(slabs, q, u, data, data_packed, cand_dist, cand_len,
     BK = max(tile, 1024)
     n_pad_d = -(-n_pad // BK) * BK
     data1d = jnp.pad(data.astype(jnp.int32), (0, n_pad_d - n))
+    # previous-byte stream for the lc literal context: dprev[i] =
+    # data[i-1] (0 at i=0), so the kernel's scalar read never crosses
+    # its SMEM block boundary
+    dprev1d = jnp.pad(data.astype(jnp.int32)[:-1] if n else data1d[:0],
+                      (1, n_pad_d - n))
     cd = jnp.pad(cand_dist, ((0, n_pad - n), (0, 0)))
     cl = jnp.pad(cand_len, ((0, n_pad - n), (0, 0)))
     rtoff = jnp.asarray(rt_offset_table())
 
     kern = functools.partial(_kernel, n=n, R=R, M=M, CB=cb, TILE=tile,
-                             BK=BK, SITE=site_mode, FB=lrep_fallback)
+                             BK=BK, SITE=site_mode, FB=lrep_fallback,
+                             LC=lc)
     out_slabT, snapP, misc = pl.pallas_call(
         kern,
         grid=(grid, n_tiles),
@@ -774,6 +789,8 @@ def repair_cost_pallas2(slabs, q, u, data, data_packed, cand_dist, cand_len,
             pl.BlockSpec((5, cb), lambda g, t: (0, g),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2), lambda g, t: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((BK,), lambda g, t: ((t * tile) // BK,),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((BK,), lambda g, t: ((t * tile) // BK,),
                          memory_space=pltpu.SMEM),
@@ -787,7 +804,7 @@ def repair_cost_pallas2(slabs, q, u, data, data_packed, cand_dist, cand_len,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 128), lambda g, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((PACKED_ROWS, cb), lambda g, t: (0, g),
+            pl.BlockSpec((PROWS, cb), lambda g, t: (0, g),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((16, cb), lambda g, t: (0, g),
                          memory_space=pltpu.VMEM),
@@ -795,20 +812,20 @@ def repair_cost_pallas2(slabs, q, u, data, data_packed, cand_dist, cand_len,
         out_specs=[
             pl.BlockSpec((tile, cb), lambda g, t: (t, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((PACKED_ROWS, cb), lambda g, t: (0, g),
+            pl.BlockSpec((PROWS, cb), lambda g, t: (0, g),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((32, cb), lambda g, t: (0, g),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, C), jnp.uint32),
-            jax.ShapeDtypeStruct((PACKED_ROWS, C), jnp.int32),
+            jax.ShapeDtypeStruct((PROWS, C), jnp.int32),
             jax.ShapeDtypeStruct((32, C), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((PACKED_ROWS, cb), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((PROWS, cb), jnp.int32),
                         pltpu.VMEM((16, cb), jnp.int32)],
         interpret=interpret,
-    )(slabT, qu, sc, data1d, dpkR, cd, cl, corr, rtoff,
+    )(slabT, qu, sc, data1d, dprev1d, dpkR, cd, cl, corr, rtoff,
       jnp.transpose(probs_in), jnp.transpose(carry_in))
 
     packed = jnp.transpose(snapP)         # [C, PACKED_ROWS] — canonical

@@ -339,3 +339,45 @@ def test_dead_tile_fast_path_parity(ctx, rng, monkeypatch):
         slabs, q, u, ctx.data, ctx.cand_dist, ctx.cand_len, ctx.log2)
     _check(got, want)
     assert int(np.asarray(want[6])[0]) in range(64, 131)  # rec_live sane
+
+
+def test_v2_parity_lc3(ctx, rng):
+    """lc=3 literal contexts in the kernel == the scan path, bit for bit
+    (the literal context is a scalar row offset in the kernel; the scan
+    threads prev_byte through the bit-plan compiler)."""
+    from megalania_tpu.ops import problayout as PL
+
+    slabs, q, u = _mutated_slabs(ctx, rng)
+    corr = jnp.asarray(pallas_repair2.log2_correction(interpret=True))
+    got = list(pallas_repair2.repair_cost_pallas2(
+        slabs, q, u, ctx.data, ctx.data_packed, ctx.cand_dist,
+        ctx.cand_len, corr, cb=C, interpret=True, lc=3))
+    got[3] = PL.get_layout(3).flat_from_packed(got[3])
+    want = repair_scan.repair_cost_batched(
+        slabs, q, u, ctx.data, ctx.cand_dist, ctx.cand_len, ctx.log2,
+        lc=3)
+    names = ("slab", "hi", "lo", "probs", "rec_ctx", "rec_dists",
+             "rec_live", "live_count", "snap_carry")
+    for name, g, w in zip(names, got, want):
+        g, w = np.asarray(g), np.asarray(w)
+        if name == "probs":
+            g, w = g[:, :T.num_probs(3)], w[:, :T.num_probs(3)]
+        np.testing.assert_array_equal(g, w, err_msg=name)
+    # and the costs really differ from the lc=0 model on this text
+    want0 = repair_scan.repair_cost_batched(
+        slabs, q, u, ctx.data, ctx.cand_dist, ctx.cand_len, ctx.log2)
+    assert not np.array_equal(np.asarray(want[1]), np.asarray(want0[1]))
+
+
+def test_engine_lc3_kernel_matches_xla(ctx):
+    """Whole-engine trajectory at lc=3: pallas2 kernel == XLA path."""
+    cfg_x = AnnealConfig(chains=C, max_candidates=8, max_walk=48,
+                         top_k=12, kernel="xla", lc=3)
+    cfg_p = AnnealConfig(chains=C, max_candidates=8, max_walk=48,
+                         top_k=12, kernel="pallas2", chain_block=C, lc=3)
+    sx = engine.run_iters(engine.init_state(ctx, cfg_x), ctx, cfg_x, 10)
+    sp = engine.run_iters(engine.init_state(ctx, cfg_p), ctx, cfg_p, 10)
+    assert int(sx.best_hi) == int(sp.best_hi)
+    assert int(sx.best_lo) == int(sp.best_lo)
+    np.testing.assert_array_equal(np.asarray(sx.best_slab),
+                                  np.asarray(sp.best_slab))

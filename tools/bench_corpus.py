@@ -133,14 +133,21 @@ def main():
     ap.add_argument("--num-epochs", type=int, default=200)
     ap.add_argument("--init", default="mixed")
     ap.add_argument("--lc", type=int, default=0)
+    ap.add_argument("--mixed-greedy-frac", type=float, default=0.5)
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="force the JAX backend (the ambient env ignores "
+                    "JAX_PLATFORMS; jax.config always works)")
     args = ap.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     overrides = dict(sublens=args.sublens, site_schedule=args.site_schedule,
                      sweep_repeats=args.sweep_repeats,
                      lrep_fallback=args.lrep_fallback,
                      site_mode=args.site_mode, proposals=args.proposals,
                      iters_per_epoch=args.iters_per_epoch,
                      num_epochs=args.num_epochs, init=args.init,
-                     lc=args.lc)
+                     lc=args.lc, mixed_greedy_frac=args.mixed_greedy_frac)
     sizes = [int(s) for s in args.sizes.split(",")]
 
     have_ref = (not args.skip_ref) and ensure_ref()
