@@ -92,6 +92,8 @@ def run_ours(data: bytes, moves: int, chains: int, overrides=None):
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     cb = chains if chains % 128 == 0 else 128
+    if (overrides or {}).get("lc"):
+        cb = 128      # lc>0 widens the literal class; VMEM caps the lanes
     cfg = AnnealConfig(chains=chains, chain_block=cb, **(overrides or {}))
     # warm the compile outside the timed window (same shapes)
     compressor.compress(data, cfg, total_moves=chains)
