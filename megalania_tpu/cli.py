@@ -123,6 +123,8 @@ def main(argv=None):
         cb = args.chain_block or (
             max(d for d in (512, 384, 256, 128) if args.chains % d == 0)
             if args.chains % 128 == 0 else 128)
+        if args.lc and not args.chain_block:
+            cb = min(cb, 128)   # lc widens the literal class (VMEM)
         cfg = AnnealConfig(
             chains=args.chains, chain_block=cb, block_size=args.block_size,
             top_k=args.top_k, seed=args.seed, kernel=args.kernel,

@@ -136,6 +136,7 @@ def main():
     ap.add_argument("--init", default="mixed")
     ap.add_argument("--lc", type=int, default=0)
     ap.add_argument("--mixed-greedy-frac", type=float, default=0.5)
+    ap.add_argument("--kernel", default="auto")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="force the JAX backend (the ambient env ignores "
                     "JAX_PLATFORMS; jax.config always works)")
@@ -149,7 +150,8 @@ def main():
                      site_mode=args.site_mode, proposals=args.proposals,
                      iters_per_epoch=args.iters_per_epoch,
                      num_epochs=args.num_epochs, init=args.init,
-                     lc=args.lc, mixed_greedy_frac=args.mixed_greedy_frac)
+                     lc=args.lc, mixed_greedy_frac=args.mixed_greedy_frac,
+                     kernel=args.kernel)
     sizes = [int(s) for s in args.sizes.split(",")]
 
     have_ref = (not args.skip_ref) and ensure_ref()
