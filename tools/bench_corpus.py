@@ -27,11 +27,16 @@ import time
 REF_BIN = "/tmp/refbuild/megalania"
 REF_SRC = "/root/reference"
 
+# FIXED corpus snapshots (tools/corpus/, committed): live files drift
+# between rounds (engine.py is this repo's own source), which silently
+# confounds cross-round ratio tables.  engine.py is pinned to its r3
+# content so the r3 tables stay comparable.
+_CDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "corpus")
 CORPUS = [
-    ("survey.md",  "/root/repo/SURVEY.md"),              # english/markdown
-    ("pallas.md",  "/opt/skills/guides/pallas_guide.md"),  # technical prose
-    ("engine.py",  "/root/repo/megalania_tpu/anneal/engine.py"),  # source
-    ("libc.so",    None),                                  # binary (found below)
+    ("survey.md",  os.path.join(_CDIR, "survey.md")),    # english/markdown
+    ("pallas.md",  os.path.join(_CDIR, "pallas.md")),    # technical prose
+    ("engine.py",  os.path.join(_CDIR, "engine.py")),    # source code
+    ("libc.so",    os.path.join(_CDIR, "libc.so")),      # binary
 ]
 
 
@@ -159,7 +164,8 @@ def main():
               "budget_scale": args.budget_scale,
               "overrides": overrides, "rows": []}
     for name, path in CORPUS:
-        path = path or find_binary()
+        if not os.path.exists(path):      # fresh checkout without libc
+            path = find_binary()
         raw = open(path, "rb").read()
         for n in sizes:
             if len(raw) < n:
