@@ -503,11 +503,26 @@ def anneal_iteration(state: AnnealState, ctx: BlockContext,
     # next step after this epoch increments epochs_done
     next_step = jnp.minimum((state.epochs_done + 1) // epochs_per_step,
                             cfg.num_steps - 1)
-    reseed = jnp.where(next_step == 0, lit, best_slab)
     Cn = chains.slab.shape[0]
+    if cfg.init == "mixed":
+        # keep the greedy/literal chain split across step-0 restarts:
+        # without this, the first restart reseeds EVERY chain from the
+        # greedy init_slab and the literal-annealing trajectories (the
+        # ones that win on text) die after one epoch.  Chain identity
+        # must be GLOBAL under shard_map or the mesh pattern would
+        # diverge from the single-device one.
+        g8 = max(0, min(8, round(cfg.mixed_greedy_frac * 8)))
+        gid = jnp.arange(Cn)
+        if axis_name is not None:
+            gid = gid + jax.lax.axis_index(axis_name) * Cn
+        use_lit = ((gid * g8 % 8) >= g8)[:, None]
+        init_rows = jnp.where(use_lit, jnp.asarray(P.literal_slab(n)), lit)
+    else:
+        init_rows = jnp.broadcast_to(lit, chains.slab.shape)
+    reseed = jnp.where(next_step == 0, init_rows,
+                       jnp.broadcast_to(best_slab, chains.slab.shape))
     chains = chains._replace(
-        slab=jnp.where(restart, jnp.broadcast_to(reseed, chains.slab.shape),
-                       chains.slab),
+        slab=jnp.where(restart, reseed, chains.slab),
         cost_hi=jnp.where(restart, jnp.full(Cn, fp.INF_HI), chains.cost_hi),
         cost_lo=jnp.where(restart, jnp.zeros(Cn, jnp.int32), chains.cost_lo),
         rec_ctx=jnp.where(restart, jnp.zeros(Cn, jnp.int32), chains.rec_ctx),
