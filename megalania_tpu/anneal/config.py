@@ -44,10 +44,11 @@ class AnnealConfig:
     sublens: int = 3                   # lengths evaluated per candidate
     # initial parse: "greedy" (longest-match walk over the candidate
     # table, SURVEY §7), "literal" (the reference's all-literals,
-    # main.c:71), or "mixed" (half the chains each — the first epoch's
-    # best-exchange keeps whichever start suits the data: greedy won
-    # binary corpora by ~4%, literal won text by ~1% at matched budget).
-    # Greedy seeding is decisive at low budgets on large blocks.
+    # main.c:71), "mixed" (greedy/literal chain split — the first
+    # epoch's best-exchange keeps whichever start suits the data),
+    # "optimal" (price-driven shortest-path DP, match/optparse.py —
+    # xz-class parse quality; the annealer becomes a strict refiner), or
+    # "mixed_opt" (optimal/literal chain split).
     init: str = "mixed"
     # fraction of chains seeded from the greedy parse under init="mixed"
     # (rounded to eighths; the rest start all-literals).  0.5 is the
@@ -129,7 +130,8 @@ class AnnealConfig:
         if self.lrep_fallback not in ("litsrep", "match"):
             raise ValueError(
                 f"unknown lrep_fallback {self.lrep_fallback!r}")
-        if self.init not in ("greedy", "literal", "mixed"):
+        if self.init not in ("greedy", "literal", "mixed", "optimal",
+                             "mixed_opt"):
             raise ValueError(f"unknown init {self.init!r}")
 
     def iters(self, n: int) -> int:

@@ -192,7 +192,11 @@ def make_context(data: bytes, cfg: AnnealConfig) -> BlockContext:
     tab = C_.build_candidates(arr, cfg.max_candidates, cfg.max_walk, idx)
     corr = pallas_repair2.log2_correction(
         interpret=jax.default_backend() != "tpu")
-    if cfg.init in ("greedy", "mixed"):
+    if cfg.init in ("optimal", "mixed_opt"):
+        from ..match import optparse
+        init_slab = optparse.build_optimal_slab(arr, tab, lc=cfg.lc,
+                                                index=idx)
+    elif cfg.init in ("greedy", "mixed"):
         init_slab = C_.greedy_slab(arr, tab)
     else:
         init_slab = np.asarray(P.literal_slab(len(arr)))
@@ -216,7 +220,7 @@ def init_state(ctx: BlockContext, cfg: AnnealConfig) -> AnnealState:
     n = ctx.data.shape[0]
     C = cfg.chains
     slab0 = jnp.broadcast_to(ctx.init_slab, (C, n))
-    if cfg.init == "mixed":
+    if cfg.init in ("mixed", "mixed_opt"):
         # a cfg.mixed_greedy_frac share of chains start from the greedy
         # parse, the rest from all-literals: the first epoch's
         # best-exchange keeps whichever start suits the data.  The
@@ -504,7 +508,7 @@ def anneal_iteration(state: AnnealState, ctx: BlockContext,
     next_step = jnp.minimum((state.epochs_done + 1) // epochs_per_step,
                             cfg.num_steps - 1)
     Cn = chains.slab.shape[0]
-    if cfg.init == "mixed":
+    if cfg.init in ("mixed", "mixed_opt"):
         # keep the greedy/literal chain split across step-0 restarts:
         # without this, the first restart reseeds EVERY chain from the
         # greedy init_slab and the literal-annealing trajectories (the

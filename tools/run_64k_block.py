@@ -33,6 +33,7 @@ N = 1 << 16
 CHAINS = int(sys.argv[2]) if len(sys.argv) > 2 else 512
 MOVES = int(sys.argv[1]) if len(sys.argv) > 1 else 128 * CHAINS
 LC = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+INIT = sys.argv[4] if len(sys.argv) > 4 else "mixed"
 
 
 def main():
@@ -50,7 +51,8 @@ def main():
           if CHAINS % 128 == 0 else 128)
     if LC:
         cb = 128      # lc>0 widens the literal class; VMEM caps the lanes
-    cfg = AnnealConfig(chains=CHAINS, chain_block=cb, block_size=N, lc=LC)
+    cfg = AnnealConfig(chains=CHAINS, chain_block=cb, block_size=N, lc=LC,
+                       init=INIT)
     t0 = time.time()
     res = compressor.compress_block(data, cfg, total_moves=MOVES)
     dt = time.time() - t0
@@ -66,7 +68,8 @@ def main():
     xz = subprocess.run(["xz", "--format=lzma", "-9e", "-c"], input=data,
                         capture_output=True).stdout
     out = {
-        "n": N, "chains": CHAINS, "lc": LC, "moves": res.moves,
+        "n": N, "chains": CHAINS, "lc": LC, "init": INIT,
+        "moves": res.moves,
         "seconds": round(dt, 1),
         "anneal_seconds": round(res.seconds, 1),
         "moves_per_s": round(res.moves / max(res.seconds, 1e-9), 1),
