@@ -47,7 +47,10 @@ def main(argv=None):
     c = sub.add_parser("compress", help="anneal-compress a file")
     c.add_argument("file")
     c.add_argument("-o", "--output", default="-")
-    c.add_argument("--chains", type=int, default=64)
+    c.add_argument("--chains", type=int, default=128,
+                   help="parallel annealing chains (128 = the measured "
+                   "ratio/speed sweet spot at matched budgets: deep "
+                   "enough chains, Pallas-kernel capable)")
     c.add_argument("--chain-block", type=int, default=0,
                    help="chains per kernel grid step (0 = auto: widest "
                    "of 512/384/256/128 dividing --chains; wide lane "

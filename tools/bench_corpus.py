@@ -125,7 +125,7 @@ def run_xz(data: bytes):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="2048,4096")
-    ap.add_argument("--chains", type=int, default=512)
+    ap.add_argument("--chains", type=int, default=128)
     ap.add_argument("--skip-ref", action="store_true")
     ap.add_argument("--budget-scale", type=float, default=1.0,
                     help="fraction of the reference budget to run")
@@ -142,6 +142,7 @@ def main():
     ap.add_argument("--lc", type=int, default=0)
     ap.add_argument("--mixed-greedy-frac", type=float, default=0.5)
     ap.add_argument("--kernel", default="auto")
+    ap.add_argument("--max-candidates", type=int, default=16)
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="force the JAX backend (the ambient env ignores "
                     "JAX_PLATFORMS; jax.config always works)")
@@ -156,7 +157,8 @@ def main():
                      iters_per_epoch=args.iters_per_epoch,
                      num_epochs=args.num_epochs, init=args.init,
                      lc=args.lc, mixed_greedy_frac=args.mixed_greedy_frac,
-                     kernel=args.kernel)
+                     kernel=args.kernel,
+                     max_candidates=args.max_candidates)
     sizes = [int(s) for s in args.sizes.split(",")]
 
     have_ref = (not args.skip_ref) and ensure_ref()
