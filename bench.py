@@ -71,7 +71,7 @@ def measure(n, chains, iters, data_path, cb_cap=512):
     jax.block_until_ready(state)
     dt = time.time() - t0
     moves = chains * iters * cfg.proposals
-    return moves / dt, dt, engine.best_cost_bytes(state)
+    return moves / dt, dt, engine.best_cost_bytes(state), iters
 
 
 def main():
@@ -83,8 +83,8 @@ def main():
 
     here = os.path.dirname(__file__) or "."
     iters = int(os.environ.get("BENCH_ITERS", "512"))
-    mps, dt, best = measure(N, CHAINS, iters,
-                            os.path.join(here, "SURVEY.md"))
+    mps, dt, best, iters = measure(N, CHAINS, iters,
+                                   os.path.join(here, "SURVEY.md"))
 
     out = {
         "metric": "anneal_moves_per_sec_per_chip",
@@ -95,7 +95,7 @@ def main():
     err64 = None
     if os.environ.get("BENCH_SKIP_64K", "0") != "1":
         try:
-            mps64, dt64, best64 = measure(
+            mps64, dt64, best64, iters64 = measure(
                 N64K, CHAINS64K, ITERS64K, os.path.join(here, "SURVEY.md"))
             out["design_point_n65536"] = {
                 "moves_per_s": round(mps64, 1),
@@ -113,7 +113,7 @@ def main():
     if "design_point_n65536" in out:
         sys.stderr.write(
             "n=%d chains=%d iters=%d dt=%.2fs best=%.2fB (design point)\n"
-            % (N64K, CHAINS64K, ITERS64K, dt64, best64))
+            % (N64K, CHAINS64K, iters64, dt64, best64))
     elif err64:
         sys.stderr.write("design-point bench failed: %s\n" % err64)
 
