@@ -53,8 +53,14 @@ def main():
         cb = 128      # lc>0 widens the literal class; VMEM caps the lanes
     cfg = AnnealConfig(chains=CHAINS, chain_block=cb, block_size=N, lc=LC,
                        init=INIT)
+    # checkpoint + resume: a long chip run survives TPU-worker crashes
+    # (observed: a 36-min run lost at the final segment); rerunning the
+    # same command continues from the last saved segment exactly.
+    ck = _os.environ.get("RUN64K_CKPT")
     t0 = time.time()
-    res = compressor.compress_block(data, cfg, total_moves=MOVES)
+    res = compressor.compress_block(
+        data, cfg, total_moves=MOVES,
+        checkpoint_path=ck, checkpoint_every=4, resume=bool(ck))
     dt = time.time() - t0
 
     with tempfile.NamedTemporaryFile(suffix=".lzma", delete=False) as f:
