@@ -46,11 +46,22 @@ class BlockContext(NamedTuple):
     init_slab: jnp.ndarray   # uint32[n] initial parse (cfg.init)
 
 
-def _lc_fits_vmem(cfg: AnnealConfig) -> bool:
+# Largest packed probability row count the Mosaic TPU compiler is known
+# to handle: lc=2 (4112 rows) compiles and runs bit-exact; the lc=3
+# 7184-row state crashes the toolchain's remote compiler outright
+# (HTTP 500 helper exit — PERF.md r4), even though it passes the naive
+# VMEM arithmetic, so lc>=3 is hard-gated to the XLA path on hardware.
+_MAX_KERNEL_ROWS = 4112
+
+
+def _lc_kernel_ok(cfg: AnnealConfig) -> bool:
     """The kernel's 3 probability buffers (in/out/scratch) must leave
     tile head-room in the ~16 MiB VMEM; lc widens the literal class
-    (rows = 0x300 << lc), so lc=3 caps the lane block at 128."""
+    (rows = 0x300 << lc).  Also enforces the known-good Mosaic row
+    ceiling (_MAX_KERNEL_ROWS)."""
     rows = problayout.get_layout(cfg.lc).PACKED_ROWS
+    if rows > _MAX_KERNEL_ROWS:
+        return False
     return 3 * rows * cfg.chain_block * 4 <= (13 << 20)
 
 
@@ -61,12 +72,24 @@ def resolve_kernel(cfg: AnnealConfig) -> str:
 
     lc > 0 runs on the kernel too (the literal context is a scalar row
     offset, pallas_repair2._kernel), but the widened literal class must
-    fit the VMEM probability buffers — else fall back to XLA."""
-    if cfg.lc > 0 and not _lc_fits_vmem(cfg):
-        return "xla"
+    fit the VMEM probability buffers and the Mosaic row ceiling — else
+    fall back to XLA.  An explicitly forced kernel is honored (it is the
+    test hook for interpret-mode runs); forcing 'pallas2' on real TPU
+    hardware with an infeasible lc raises instead of silently falling
+    back."""
+    on_tpu = jax.default_backend() == "tpu"
     if cfg.kernel != "auto":
+        if cfg.kernel == "pallas2" and on_tpu and not _lc_kernel_ok(cfg):
+            raise ValueError(
+                f"kernel='pallas2' forced, but lc={cfg.lc} needs "
+                f"{problayout.get_layout(cfg.lc).PACKED_ROWS} probability "
+                f"rows per lane — beyond the TPU kernel's known-good "
+                f"limit ({_MAX_KERNEL_ROWS}).  Use kernel='xla' (or "
+                "'auto') for this lc.")
         return cfg.kernel
-    if jax.default_backend() != "tpu":
+    if not on_tpu:
+        return "xla"
+    if not _lc_kernel_ok(cfg):
         return "xla"
     if cfg.chains % 128 == 0:
         return "pallas2"
@@ -194,8 +217,24 @@ def make_context(data: bytes, cfg: AnnealConfig) -> BlockContext:
         interpret=jax.default_backend() != "tpu")
     if cfg.init in ("optimal", "mixed_opt"):
         from ..match import optparse
-        init_slab = optparse.build_optimal_slab(arr, tab, lc=cfg.lc,
-                                                index=idx)
+        try:
+            from ..match import optparse_native as on
+            native = on.available()
+        except Exception:  # noqa: BLE001 — no toolchain
+            native = False
+        if native:
+            # the DP is host-side: it affords a far wider Pareto table
+            # than the kernels' VMEM-resident one built above
+            opt_tab = (tab if (cfg.opt_candidates, cfg.opt_walk)
+                       == (cfg.max_candidates, cfg.max_walk)
+                       else C_.build_candidates(arr, cfg.opt_candidates,
+                                                cfg.opt_walk, idx))
+            init_slab = optparse.build_optimal_slab_native(
+                arr, opt_tab, lc=cfg.lc, passes=cfg.opt_passes,
+                win_size=cfg.opt_window, index=idx)
+        else:
+            init_slab = optparse.build_optimal_slab(arr, tab, lc=cfg.lc,
+                                                    index=idx)
     elif cfg.init in ("greedy", "mixed"):
         init_slab = C_.greedy_slab(arr, tab)
     else:
@@ -481,9 +520,14 @@ def anneal_iteration(state: AnnealState, ctx: BlockContext,
     n = ctx.data.shape[0]
     iters = cfg.iters(n)
     sched = effective_schedule(cfg)
-    epochs_per_step = max(
-        1, -(-cfg.num_epochs // cfg.chains)
-    )  # serial epochs folded onto the chain axis
+    # serial epochs folded onto the chain axis.  With an init race
+    # (mixed/mixed_opt) step 0 must span >= 2 epochs: at chains >=
+    # num_epochs the plain fold gives epochs_per_step = 1, so the very
+    # first restart would already reseed every chain from the global
+    # best and the losing-start trajectories (the per-file insurance
+    # the race exists for) would die after a single epoch.
+    min_eps = 2 if cfg.init in ("mixed", "mixed_opt") else 1
+    epochs_per_step = max(min_eps, -(-cfg.num_epochs // cfg.chains))
     step = jnp.minimum(state.epochs_done // epochs_per_step,
                        cfg.num_steps - 1)
 

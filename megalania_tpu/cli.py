@@ -64,16 +64,22 @@ def main(argv=None):
     c.add_argument("--sublens", type=int, default=3,
                    help="candidate lengths evaluated per match entry")
     c.add_argument("--init", default="mixed",
-                   choices=["greedy", "literal", "mixed"],
-                   help="initial parse (greedy longest-match or the "
-                   "reference's all-literals)")
+                   choices=["greedy", "literal", "mixed", "optimal",
+                            "mixed_opt"],
+                   help="initial parse: greedy longest-match, the "
+                   "reference's all-literals, a greedy/literal chain "
+                   "split (mixed), the price-driven optimum-parse DP "
+                   "(optimal — the best measured 64 KiB seed), or an "
+                   "optimal/literal split (mixed_opt)")
     c.add_argument("--mixed-greedy-frac", type=float, default=0.5,
                    help="greedy share of chains under --init mixed "
                    "(rounded to eighths)")
     c.add_argument("--lc", type=int, default=0,
                    help="literal context bits (xz defaults to 3; the "
-                   "reference only supports 0). lc>0 runs the XLA "
-                   "kernel path")
+                   "reference only supports 0). lc<=2 still runs the "
+                   "Pallas kernels; lc>=3 falls back to the XLA path "
+                   "(the widened literal class exceeds the TPU "
+                   "kernel's compiled-size limit)")
     c.add_argument("--seed", type=int, default=1673551)
     c.add_argument("--quiet", action="store_true")
     c.add_argument("--kernel", default="auto",

@@ -68,12 +68,16 @@ def compress_block(
                            18.0, 0, time.time() - t0)
     if total_moves is None:
         total_moves = reference_budget(n, cfg)
-    iters = max(1, total_moves // cfg.chains)
+    # one move = one costed proposal (the reference's unit, main.c:78);
+    # an iteration costs chains * proposals of them
+    iters = max(1, total_moves // (cfg.chains * cfg.proposals))
 
     ctx = engine.make_context(data, cfg)
     if resume and checkpoint_path and os.path.exists(checkpoint_path):
         state = ckpt_mod.load(checkpoint_path)
-        done = int(state.moves_done) // cfg.chains
+        # moves_done counts chains*proposals per iteration; reconstruct
+        # completed ITERATIONS (the unit the loop below advances by)
+        done = int(state.moves_done) // (cfg.chains * cfg.proposals)
     else:
         state = engine.init_state(ctx, cfg)
         done = 0
@@ -150,28 +154,35 @@ def _compress_blocks_mesh(
 
     if moves_per_block is None:
         moves_per_block = reference_budget(n, cfg)
-    iters = max(1, moves_per_block // cfg.chains)
+    iters = max(1, moves_per_block // (cfg.chains * cfg.proposals))
 
     if block_ids is None:
         block_ids = list(range(B))
+    # legacy sidecar (pre-r5 checkpoints); new saves embed the ids in
+    # the npz itself so state and ids can never go stale independently
     ids_path = checkpoint_path + ".ids.json" if checkpoint_path else None
     states = None
     if resume and checkpoint_path and os.path.exists(checkpoint_path):
         # the saved stack is keyed by block ids (VERDICT r3 weak #5): a
         # resumed run may carry FEWER blocks (some block{bi}.lzma already
         # emitted), so re-slice the stack to the current block list
-        saved_ids = list(range(B))
-        if ids_path and os.path.exists(ids_path):
+        saved = ckpt_mod.load_extra(checkpoint_path, "block_ids")
+        if saved is not None:
+            saved_ids = [int(x) for x in saved]
+        elif ids_path and os.path.exists(ids_path):
             import json
             with open(ids_path) as f:
                 saved_ids = json.load(f)
+        else:
+            saved_ids = list(range(B))
         if all(bi in saved_ids for bi in block_ids):
             loaded = ckpt_mod.load(checkpoint_path)
             sel = np.asarray([saved_ids.index(bi) for bi in block_ids])
             states = (loaded if len(sel) == len(saved_ids)
                       and (sel == np.arange(len(sel))).all()
                       else jax.tree.map(lambda x: x[sel], loaded))
-            done = int(np.asarray(states.moves_done)[0]) // cfg.chains
+            done = int(np.asarray(states.moves_done)[0]) // (
+                cfg.chains * cfg.proposals)
     if states is None:
         states = mesh_mod.replicate_for_blocks(
             [engine.init_state(c, cfg) for c in ctxs])
@@ -190,11 +201,10 @@ def _compress_blocks_mesh(
         segs += 1
         if checkpoint_path and (segs % checkpoint_every == 0
                                 or done >= iters):
-            ckpt_mod.save(checkpoint_path, states)
-            if ids_path:
-                import json
-                with open(ids_path, "w") as f:
-                    json.dump(block_ids, f)
+            # block ids ride inside the (atomically replaced) npz, so a
+            # crash can never pair fresh state with stale ids
+            ckpt_mod.save(checkpoint_path, states,
+                          extra={"block_ids": np.asarray(block_ids)})
         his = np.asarray(states.best_hi)
         los = np.asarray(states.best_lo)
         now = time.time()
@@ -228,7 +238,7 @@ def _compress_blocks_mesh(
         results.append(BlockResult(
             stream=stream, raw_len=len(part),
             predicted_bytes=18 + fp.to_int(his[bi], los[bi]) / 16384.0,
-            moves=iters * cfg.chains, seconds=dt / B,
+            moves=iters * cfg.chains * cfg.proposals, seconds=dt / B,
             kernel=engine.resolve_kernel(cfg),
         ))
     return results

@@ -21,7 +21,11 @@ _FIELDS_CHAIN = list(engine.ChainState._fields)
 _FIELDS_TOP = [f for f in engine.AnnealState._fields if f != "chains"]
 
 
-def save(path: str, state: engine.AnnealState) -> None:
+def save(path: str, state: engine.AnnealState, extra: dict | None = None
+         ) -> None:
+    """Serialize the state (plus optional caller metadata arrays under
+    the "extra." namespace — e.g. the mesh path's block ids — so state
+    and metadata are replaced atomically together)."""
     arrays = {}
     for f in _FIELDS_CHAIN:
         v = getattr(state.chains, f)
@@ -33,6 +37,8 @@ def save(path: str, state: engine.AnnealState) -> None:
         if f == "skey":
             v = jax.random.key_data(v)
         arrays[f] = np.asarray(v)
+    for k, v in (extra or {}).items():
+        arrays[f"extra.{k}"] = np.asarray(v)
     # atomic write
     d = os.path.dirname(os.path.abspath(path)) or "."
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
@@ -47,6 +53,14 @@ def save(path: str, state: engine.AnnealState) -> None:
 
 _REQUIRED = ("chains.slab", "chains.cost_hi", "chains.cost_lo",
              "chains.key", "best_slab", "best_hi", "best_lo")
+
+
+def load_extra(path: str, key: str):
+    """Read one "extra." metadata array from a checkpoint (None if the
+    file predates the key or was saved without it)."""
+    with np.load(path) as z:
+        name = f"extra.{key}"
+        return z[name] if name in z.files else None
 
 
 def load(path: str) -> engine.AnnealState:

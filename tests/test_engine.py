@@ -113,3 +113,26 @@ def test_greedy_init_beats_literals_and_anneals(cfg):
     assert best <= greedy_cost
     blob = pyemit.emit(DATA, np.asarray(out.best_slab))
     assert lzma.decompress(blob, format=lzma.FORMAT_ALONE) == DATA
+
+
+def test_mixed_split_survives_restart():
+    """At chains >= num_epochs the init race (greedy/literal chain
+    split) must survive the first epoch restart: step 0 spans >= 2
+    epochs, so the restart reseeds from the SPLIT init rows, not from
+    the global best (VERDICT r4 weak #5)."""
+    c = AnnealConfig(chains=8, num_epochs=4, iters_per_epoch=4,
+                     max_candidates=8, max_walk=64, top_k=12,
+                     init="mixed")
+    ctx = engine.make_context(DATA, c)
+    state = engine.init_state(ctx, c)
+    # run exactly through the first restart (it_in_epoch reaches iters)
+    state = engine.run_iters(state, ctx, c, 4)
+    assert int(state.epochs_done) == 1
+    slabs = np.asarray(state.chains.slab)
+    lit = np.asarray(P.literal_slab(len(DATA)))
+    greedy = np.asarray(ctx.init_slab)
+    assert not np.array_equal(greedy, lit)   # data must have matches
+    # g8=4 => odd chains literal, even chains greedy (engine pattern)
+    for i in range(8):
+        want = lit if (i * 4 % 8) >= 4 else greedy
+        assert np.array_equal(slabs[i], want), f"chain {i} lost its seed"

@@ -138,3 +138,52 @@ def test_checkpoint_forward_compat(cfg, tmp_path):
     np.savez(badpath, **broken)
     with pytest.raises(ValueError, match="incompatible checkpoint"):
         ck.load(badpath)
+
+
+def test_resume_accounting_with_proposals(cfg, tmp_path):
+    """moves_done accumulates chains*proposals per iteration; a resumed
+    run must reconstruct ITERATIONS (not over-count by the proposals
+    factor and stop early) and continue bit-identically."""
+    import dataclasses
+    pcfg = dataclasses.replace(cfg, proposals=2)
+    moves = 8 * 2 * 30  # 30 iters at 8 chains x 2 proposals
+
+    straight = compressor.compress_block(
+        DATA, pcfg, total_moves=moves, segment_iters=10).stream
+
+    ck = str(tmp_path / "blkp.npz")
+    with pytest.raises(KeyboardInterrupt):
+        seen = {"n": 0}
+
+        def bomb(info):
+            seen["n"] += 1
+            if seen["n"] == 1:
+                raise KeyboardInterrupt
+
+        compressor.compress_block(
+            DATA, pcfg, total_moves=moves, segment_iters=10,
+            checkpoint_path=ck, checkpoint_every=1, progress=bomb)
+
+    res = compressor.compress_block(
+        DATA, pcfg, total_moves=moves, segment_iters=10,
+        checkpoint_path=ck, resume=True)
+    assert res.stream == straight
+    # the resumed run must actually complete the full budget
+    assert res.moves == moves
+
+
+def test_checkpoint_extra_metadata(cfg, tmp_path):
+    """extra.* arrays ride the same atomically-replaced npz as the state
+    (mesh block ids can never go stale against the state)."""
+    from megalania_tpu.anneal import engine
+    from megalania_tpu.utils import checkpoint as ck_mod
+
+    ctx = engine.make_context(DATA, cfg)
+    state = engine.init_state(ctx, cfg)
+    path = str(tmp_path / "meta.npz")
+    ck_mod.save(path, state, extra={"block_ids": np.asarray([3, 5, 9])})
+    assert list(ck_mod.load_extra(path, "block_ids")) == [3, 5, 9]
+    assert ck_mod.load_extra(path, "missing_key") is None
+    loaded = ck_mod.load(path)     # extra.* must not disturb state load
+    assert np.array_equal(np.asarray(loaded.chains.slab),
+                          np.asarray(state.chains.slab))
