@@ -42,6 +42,16 @@ class AnnealConfig:
     max_candidates: int = 16
     max_walk: int = 96
     sublens: int = 3                   # lengths evaluated per candidate
+    # optimum-parse initializer (native Viterbi, match/optparse_native):
+    # the DP is host-side, so it affords a much WIDER Pareto table than
+    # the anneal kernels should carry in VMEM, plus dense 2..273 length
+    # enumeration.  Measured at the 64 KiB design point (PERF.md r5):
+    # seed quality keeps improving to M=64/walk=1024; window 512 B price
+    # snapshots track the adaptive model closely.
+    opt_candidates: int = 64
+    opt_walk: int = 1024
+    opt_passes: int = 8
+    opt_window: int = 512
     # initial parse: "greedy" (longest-match walk over the candidate
     # table, SURVEY §7), "literal" (the reference's all-literals,
     # main.c:71), "mixed" (greedy/literal chain split — the first
@@ -114,6 +124,9 @@ class AnnealConfig:
             raise ValueError("proposals must be >= 1")
         if not (1 <= self.sublens <= 10):
             raise ValueError("sublens must be in 1..10 (moves._sublens)")
+        if min(self.opt_candidates, self.opt_walk, self.opt_passes,
+               self.opt_window) < 1:
+            raise ValueError("opt_* fields must be >= 1")
         if self.chain_block % 8 != 0:
             raise ValueError("chain_block must be a sublane multiple (8)")
         if self.kernel not in ("auto", "xla", "pallas2"):
