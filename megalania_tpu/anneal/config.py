@@ -66,6 +66,14 @@ class AnnealConfig:
     # (PERF.md r3: the mixed tradeoff was binary -4% / text +1%).
     mixed_greedy_frac: float = 0.5
 
+    # acceptance rule: "cooled" = the reference's cooling transition
+    # (accept-worse w.p. ~ sqrt(iters)/(i^2+...), main.c:86) — right for
+    # weak starts that need escapes; "greedy" = accept only strict
+    # improvements — right for strong seeds (measured: from an optimum-
+    # parse seed the cooled schedule's exploratory acceptances are net
+    # destructive, PERF_64K r4: full budget ended WORSE than 25%).
+    accept: str = "cooled"
+
     # parallel structure
     chains: int = 64                   # parallel annealing chains per block
     proposals: int = 1                 # proposals costed per chain per pass
@@ -143,6 +151,8 @@ class AnnealConfig:
         if self.lrep_fallback not in ("litsrep", "match"):
             raise ValueError(
                 f"unknown lrep_fallback {self.lrep_fallback!r}")
+        if self.accept not in ("cooled", "greedy"):
+            raise ValueError(f"unknown accept {self.accept!r}")
         if self.init not in ("greedy", "literal", "mixed", "optimal",
                              "mixed_opt"):
             raise ValueError(f"unknown init {self.init!r}")

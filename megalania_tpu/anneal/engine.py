@@ -486,12 +486,16 @@ def _chains_iter(state: AnnealState, ctx: BlockContext, step,
             sel(new_slab), sel(hi), sel(lo), sel(probs), sel(rctx),
             sel(rdists), sel(rlive), sel(count), sel(snapc))
 
-    # acceptance: first / better / cooled transition (main.c:86)
+    # acceptance: first / better / cooled transition (main.c:86).
+    # accept="greedy" zeroes the exploratory transition — the polish
+    # mode for optimum-parse seeds (cfg.accept rationale).
     iters = jnp.float32(cfg.iters(n))
     i_f = jnp.float32(state.it_in_epoch)
     p_trans = jnp.sqrt(iters) / (
         i_f * i_f + 1.0 + jnp.float32(step) * iters * 0.5
     )
+    if cfg.accept == "greedy":
+        p_trans = jnp.float32(0.0)
     trans = jax.vmap(jax.random.uniform)(k_acc) < p_trans
     first = chains.cost_hi == fp.INF_HI
     better = fp.less(hi, lo, chains.cost_hi, chains.cost_lo)

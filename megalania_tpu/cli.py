@@ -57,7 +57,9 @@ def main(argv=None):
                    "blocks are nearly free on the VPU)")
     c.add_argument("--block-size", type=int, default=1 << 16)
     c.add_argument("--moves", type=int, default=None,
-                   help="total anneal moves (default: reference budget)")
+                   help="total anneal moves (default: reference budget; "
+                   "0 = DP-only mode, emit the --init parse directly "
+                   "without annealing)")
     c.add_argument("--proposals", type=int, default=1,
                    help="proposals costed per chain per pass (best-of-P)")
     c.add_argument("--top-k", type=int, default=20)
@@ -98,6 +100,10 @@ def main(argv=None):
                    help="mutation-site schedule (sweep enables snapshot "
                    "partial re-cost; random = per-chain uniform sites, "
                    "always a full walk)")
+    c.add_argument("--accept", default="cooled",
+                   choices=["cooled", "greedy"],
+                   help="acceptance rule (greedy = improvements only: "
+                   "the polish mode for --init optimal seeds)")
     c.add_argument("--lrep-fallback", default="match",
                    choices=["litsrep", "match"],
                    help="repair fallback for unrepairable long reps")
@@ -142,6 +148,7 @@ def main(argv=None):
             sublens=args.sublens, init=args.init,
             site_schedule=args.site_schedule, lc=args.lc,
             mixed_greedy_frac=args.mixed_greedy_frac,
+            accept=args.accept,
         )
         progress = None if args.quiet else _progress_printer(time.time())
         metrics = None

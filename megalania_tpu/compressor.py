@@ -42,6 +42,37 @@ def reference_budget(n: int, cfg: AnnealConfig) -> int:
     return cfg.num_steps * cfg.num_epochs * max(n, 1)
 
 
+def _seed_slab(data: bytes, cfg: AnnealConfig) -> np.ndarray:
+    """Host-only initial parse for the DP-only (total_moves=0) mode —
+    the same seeds make_context builds, without touching a device."""
+    from .match import candidates as C_
+    from .match.suffix import build_lce
+    from .models import packets as P
+
+    arr = np.frombuffer(bytes(data), np.uint8)
+    if cfg.init == "literal":
+        return np.asarray(P.literal_slab(len(arr)))
+    idx = build_lce(arr)
+    if cfg.init in ("optimal", "mixed_opt"):
+        from .match import optparse
+        try:
+            from .match import optparse_native as on
+            native = on.available()
+        except Exception:  # noqa: BLE001
+            native = False
+        if native:
+            tab = C_.build_candidates(arr, cfg.opt_candidates,
+                                      cfg.opt_walk, idx)
+            return optparse.build_optimal_slab_native(
+                arr, tab, lc=cfg.lc, passes=cfg.opt_passes,
+                win_size=cfg.opt_window, index=idx)
+        tab = C_.build_candidates(arr, cfg.max_candidates, cfg.max_walk,
+                                  idx)
+        return optparse.build_optimal_slab(arr, tab, lc=cfg.lc, index=idx)
+    tab = C_.build_candidates(arr, cfg.max_candidates, cfg.max_walk, idx)
+    return C_.greedy_slab(arr, tab)
+
+
 def compress_block(
     data: bytes,
     cfg: AnnealConfig,
@@ -66,6 +97,16 @@ def compress_block(
     if n == 0:
         return BlockResult(emit_mod.emit(b"", np.zeros(0, np.uint32)), 0,
                            18.0, 0, time.time() - t0)
+    if total_moves == 0:
+        # DP-only mode: emit the configured initial parse directly (the
+        # optimum-parse seed needs no annealing to be competitive at
+        # large blocks, and this skips the n-sized engine compile)
+        slab = _seed_slab(data, cfg)
+        stream = emit_mod.emit(data, slab, dict_size=cfg.dict_size,
+                               lc=cfg.lc)
+        return BlockResult(stream=stream, raw_len=n, predicted_bytes=0.0,
+                           moves=0, seconds=time.time() - t0,
+                           kernel="none")
     if total_moves is None:
         total_moves = reference_budget(n, cfg)
     # one move = one costed proposal (the reference's unit, main.c:78);
@@ -291,6 +332,8 @@ def compress(
     # plain per-block queue
     if len(jax.devices()) < 2:
         use_mesh = False
+    if total_moves == 0:
+        use_mesh = False               # DP-only mode is host-side
     if use_mesh and len(full) >= 2:
         mesh_ck = (os.path.join(checkpoint_dir, "mesh.npz")
                    if checkpoint_dir else None)
@@ -340,7 +383,8 @@ def compress(
                    if checkpoint_dir else None)
         moves = None
         if total_moves is not None:
-            moves = max(1, total_moves // len(parts))
+            moves = (0 if total_moves == 0
+                     else max(1, total_moves // len(parts)))
         try:
             res = compress_block(
                 part, bcfg, moves, progress=progress,

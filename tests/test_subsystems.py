@@ -187,3 +187,17 @@ def test_checkpoint_extra_metadata(cfg, tmp_path):
     loaded = ck_mod.load(path)     # extra.* must not disturb state load
     assert np.array_equal(np.asarray(loaded.chains.slab),
                           np.asarray(state.chains.slab))
+
+
+def test_dp_only_mode(cfg, tmp_path):
+    """total_moves=0 emits the --init parse without annealing; the
+    container still round-trips (multi-block and single-block)."""
+    import dataclasses
+    ocfg = dataclasses.replace(cfg, init="optimal", block_size=128)
+    blob = compressor.compress(DATA, ocfg, total_moves=0)
+    assert compressor.decompress(blob) == DATA
+    one = dataclasses.replace(cfg, init="optimal")
+    blob1 = compressor.compress(DATA, one, total_moves=0)
+    assert compressor.decompress(blob1) == DATA
+    import lzma
+    assert lzma.decompress(blob1, format=lzma.FORMAT_ALONE) == DATA
