@@ -139,6 +139,7 @@ def main():
     ap.add_argument("--iters-per-epoch", type=int, default=None)
     ap.add_argument("--num-epochs", type=int, default=200)
     ap.add_argument("--init", default="mixed")
+    ap.add_argument("--accept", default="cooled")
     ap.add_argument("--lc", type=int, default=0)
     ap.add_argument("--mixed-greedy-frac", type=float, default=0.5)
     ap.add_argument("--kernel", default="auto")
@@ -156,6 +157,7 @@ def main():
                      site_mode=args.site_mode, proposals=args.proposals,
                      iters_per_epoch=args.iters_per_epoch,
                      num_epochs=args.num_epochs, init=args.init,
+                     accept=args.accept,
                      lc=args.lc, mixed_greedy_frac=args.mixed_greedy_frac,
                      kernel=args.kernel,
                      max_candidates=args.max_candidates)

@@ -34,6 +34,7 @@ CHAINS = int(sys.argv[2]) if len(sys.argv) > 2 else 512
 MOVES = int(sys.argv[1]) if len(sys.argv) > 1 else 128 * CHAINS
 LC = int(sys.argv[3]) if len(sys.argv) > 3 else 0
 INIT = sys.argv[4] if len(sys.argv) > 4 else "mixed"
+ACCEPT = sys.argv[5] if len(sys.argv) > 5 else "cooled"
 
 
 def main():
@@ -52,7 +53,7 @@ def main():
     if LC:
         cb = 128      # lc>0 widens the literal class; VMEM caps the lanes
     cfg = AnnealConfig(chains=CHAINS, chain_block=cb, block_size=N, lc=LC,
-                       init=INIT)
+                       init=INIT, accept=ACCEPT)
     # checkpoint + resume: a long chip run survives TPU-worker crashes
     # (observed: a 36-min run lost at the final segment); rerunning the
     # same command continues from the last saved segment exactly.
@@ -75,6 +76,7 @@ def main():
                         capture_output=True).stdout
     out = {
         "n": N, "chains": CHAINS, "lc": LC, "init": INIT,
+        "accept": ACCEPT,
         "moves": res.moves,
         "seconds": round(dt, 1),
         "anneal_seconds": round(res.seconds, 1),
