@@ -8,6 +8,11 @@ from __future__ import annotations
 
 import dataclasses
 
+# blocks beyond the packed format's 1 MiB (annealable) cap run the
+# host-side wide-distance optimum-parse pipeline; 64 MiB matches xz's
+# -9 dictionary
+MAX_WIDE_BLOCK = 64 << 20
+
 
 @dataclasses.dataclass(frozen=True)
 class AnnealConfig:
@@ -116,16 +121,18 @@ class AnnealConfig:
     seed: int = 1673551                # reference seed (main.c:68)
 
     def __post_init__(self):
-        from ..models import packets as P
         if not (0 <= self.lc <= 4):
             raise ValueError("lc must be in 0..4")
         if self.lp != 0 or self.pb != 0:
             raise ValueError("only lp=pb=0 is implemented (like the "
                              "reference, main.c:45)")
-        if not (0 < self.block_size <= P.MAX_BLOCK):
+        # annealable blocks are capped by the packed 20-bit dist field
+        # (P.MAX_BLOCK = 1 MiB); larger blocks run the host-side
+        # wide-distance DP-only pipeline (compressor, total_moves=0)
+        if not (0 < self.block_size <= MAX_WIDE_BLOCK):
             raise ValueError(
-                f"block_size={self.block_size} exceeds the {P.MAX_BLOCK}-byte "
-                "limit of the 20-bit packet dist field (models/packets.py)")
+                f"block_size={self.block_size} exceeds the "
+                f"{MAX_WIDE_BLOCK}-byte wide-pipeline limit")
         if self.chains < 1:
             raise ValueError("chains must be >= 1")
         if self.proposals < 1:

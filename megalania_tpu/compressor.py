@@ -42,18 +42,23 @@ def reference_budget(n: int, cfg: AnnealConfig) -> int:
     return cfg.num_steps * cfg.num_epochs * max(n, 1)
 
 
-def _seed_slab(data: bytes, cfg: AnnealConfig) -> np.ndarray:
+def _seed_slab(data: bytes, cfg: AnnealConfig):
     """Host-only initial parse for the DP-only (total_moves=0) mode —
-    the same seeds make_context builds, without touching a device."""
+    the same seeds make_context builds, without touching a device.
+
+    Returns (slab, dists): dists is None for packed-format blocks and
+    the full-width distance array for wide (> 1 MiB) blocks, which
+    always use the optimum parse (the only wide-capable builder)."""
     from .match import candidates as C_
     from .match.suffix import build_lce
     from .models import packets as P
 
     arr = np.frombuffer(bytes(data), np.uint8)
-    if cfg.init == "literal":
-        return np.asarray(P.literal_slab(len(arr)))
+    wide = len(arr) > P.MAX_BLOCK
+    if cfg.init == "literal" and not wide:
+        return np.asarray(P.literal_slab(len(arr))), None
     idx = build_lce(arr)
-    if cfg.init in ("optimal", "mixed_opt"):
+    if wide or cfg.init in ("optimal", "mixed_opt"):
         from .match import optparse
         try:
             from .match import optparse_native as on
@@ -63,14 +68,20 @@ def _seed_slab(data: bytes, cfg: AnnealConfig) -> np.ndarray:
         if native:
             tab = C_.build_candidates(arr, cfg.opt_candidates,
                                       cfg.opt_walk, idx)
-            return optparse.build_optimal_slab_native(
+            out = optparse.build_optimal_slab_native(
                 arr, tab, lc=cfg.lc, passes=cfg.opt_passes,
-                win_size=cfg.opt_window, index=idx)
+                win_size=cfg.opt_window, index=idx, wide=wide)
+            return out if wide else (out, None)
+        if wide:
+            raise RuntimeError(
+                "wide (> 1 MiB) blocks need the native optparse "
+                "library (no C++ toolchain available)")
         tab = C_.build_candidates(arr, cfg.max_candidates, cfg.max_walk,
                                   idx)
-        return optparse.build_optimal_slab(arr, tab, lc=cfg.lc, index=idx)
+        return optparse.build_optimal_slab(arr, tab, lc=cfg.lc,
+                                           index=idx), None
     tab = C_.build_candidates(arr, cfg.max_candidates, cfg.max_walk, idx)
-    return C_.greedy_slab(arr, tab)
+    return C_.greedy_slab(arr, tab), None
 
 
 def compress_block(
@@ -101,12 +112,18 @@ def compress_block(
         # DP-only mode: emit the configured initial parse directly (the
         # optimum-parse seed needs no annealing to be competitive at
         # large blocks, and this skips the n-sized engine compile)
-        slab = _seed_slab(data, cfg)
+        slab, dists = _seed_slab(data, cfg)
         stream = emit_mod.emit(data, slab, dict_size=cfg.dict_size,
-                               lc=cfg.lc)
+                               lc=cfg.lc, dists=dists)
         return BlockResult(stream=stream, raw_len=n, predicted_bytes=0.0,
                            moves=0, seconds=time.time() - t0,
                            kernel="none")
+    from .models import packets as P
+    if n > P.MAX_BLOCK:
+        raise ValueError(
+            f"blocks over {P.MAX_BLOCK} bytes exceed the packed dist "
+            "field and run the wide DP-only pipeline: pass "
+            "total_moves=0 (CLI --moves 0)")
     if total_moves is None:
         total_moves = reference_budget(n, cfg)
     # one move = one costed proposal (the reference's unit, main.c:78);

@@ -342,7 +342,7 @@ def _rep_candidates(data, slab, index):
 
 def build_optimal_slab_native(data, tab: C_.CandidateTable, lc: int = 0,
                               passes: int = 4, win_size: int = 8192,
-                              index=None) -> np.ndarray:
+                              index=None, wide: bool = False):
     """xz-class optimum-parse seed via the native Viterbi engine.
 
     Each pass parses with STATIC price tables snapshotted every
@@ -363,29 +363,33 @@ def build_optimal_slab_native(data, tab: C_.CandidateTable, lc: int = 0,
         data, (bytes, bytearray)) else np.asarray(data, np.uint8)
     n = len(data)
     if n == 0:
-        return np.asarray(P.literal_slab(0))
+        empty = np.asarray(P.literal_slab(0))
+        return (empty, np.zeros(0, np.uint32)) if wide else empty
     if index is None:
         from .suffix import build_lce
         index = build_lce(data)
     win = max(256, min(win_size, max(n, 1)))
     nwin = -(-n // win) if n else 1
 
+    def parse(pw, ws):
+        out = on.viterbi_parse(data, pw, tab.dist, tab.length,
+                               index.rank, index.sparse, lc=lc,
+                               win_size=ws, wide=wide)
+        return out if wide else (out, None)
+
     fresh = T.init_probs_np(lc=lc)[None, :]
-    slab = on.viterbi_parse(data, fresh, tab.dist, tab.length,
-                            index.rank, index.sparse, lc=lc)
-    best, best_cost = slab, None
+    slab, dw = parse(fresh, 0)
+    best, best_cost = (slab, dw), None
     for _ in range(max(0, passes - 1)):
         cost, _, snaps = on.cost_train(data, slab, lc=lc, nwin=nwin,
-                                       win_size=win)
+                                       win_size=win, dists=dw)
         if best_cost is None or cost < best_cost:
-            best, best_cost = slab, cost
-        slab = on.viterbi_parse(data, snaps, tab.dist, tab.length,
-                                index.rank, index.sparse, lc=lc,
-                                win_size=win)
-    cost, _ = on.cost_train(data, slab, lc=lc)
+            best, best_cost = (slab, dw), cost
+        slab, dw = parse(snaps, win)
+    cost, _ = on.cost_train(data, slab, lc=lc, dists=dw)
     if best_cost is not None and best_cost < cost:
-        return best
-    return slab
+        slab, dw = best
+    return (slab, dw) if wide else slab
 
 
 def build_optimal_slab(data, tab: C_.CandidateTable, lc: int = 0,

@@ -81,7 +81,16 @@ def build_lce(data) -> LCEIndex:
         data, (bytes, bytearray)) else np.asarray(data, np.uint8)
     n = len(data)
     sa = suffix_array(data)
-    lcp = lcp_array(data, sa)
+    lcp = None
+    if n > (1 << 16):       # Kasai's Python loop is the big-n bottleneck
+        try:
+            from . import optparse_native as on
+            if on.available():
+                lcp = on.lcp(data, sa)
+        except Exception:  # noqa: BLE001 — numpy fallback below
+            lcp = None
+    if lcp is None:
+        lcp = lcp_array(data, sa)
     K = max(1, int(np.ceil(np.log2(max(n, 2)))))
     sparse = np.full((K, max(n, 1)), np.int32(1 << 30))
     if n:

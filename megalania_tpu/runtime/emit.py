@@ -93,10 +93,14 @@ def emit_from_opstream(idx, bit, active, n_direct, direct_val,
 
 
 def emit(data: bytes, slab: np.ndarray, dict_size: int = 0x400000,
-         lc: int = 0) -> bytes:
-    """Parse -> complete .lzma stream (native path, Python fallback)."""
-    if _load_native() is None or len(data) == 0:
-        return pyemit.emit(data, slab, dict_size=dict_size, lc=lc)
+         lc: int = 0, dists=None) -> bytes:
+    """Parse -> complete .lzma stream (native path, Python fallback).
+
+    dists: full-width distances for wide (> 1 MiB) blocks — those take
+    the Python emitter (the op-stream plan is packed-format only)."""
+    if _load_native() is None or len(data) == 0 or dists is not None:
+        return pyemit.emit(data, slab, dict_size=dict_size, lc=lc,
+                           dists=dists)
     d = jnp.asarray(np.frombuffer(data, np.uint8).astype(np.int32))
     idx, bit, active, n_direct, direct_val = (
         np.asarray(a) for a in emit_plan.emit_plan_jit(jnp.asarray(slab), d,

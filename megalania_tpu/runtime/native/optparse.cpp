@@ -233,8 +233,13 @@ extern "C" {
 // (optionally) snapshotting the model at every win_size boundary.
 // Returns the total perplexity in 53.11 fixed point, or -1 on a
 // malformed slab.  Mirrors runtime/pyemit.py Encoder bit for bit.
+// dist_wide (nullable): full 32-bit stored-form MATCH distances, one
+// per packet start position — overrides the packed 20-bit dist field
+// so blocks larger than 1 MiB (the packed format's cap,
+// models/packets.py) can be costed/parsed host-side.
 int64_t meg_cost_train(const uint8_t* data, int64_t n,
-                       const uint32_t* slab, int32_t lc, int32_t* probs,
+                       const uint32_t* slab, const uint32_t* dist_wide,
+                       int32_t lc, int32_t* probs,
                        int32_t* snaps, int64_t nwin, int64_t win_size,
                        int64_t probs_stride, const int64_t* log2tab,
                        const int32_t* offsets, int64_t n_offsets) {
@@ -296,6 +301,7 @@ int64_t meg_cost_train(const uint8_t* data, int64_t n,
     uint32_t word = slab[pos];
     uint32_t type = (word >> kTypeShift) & 3;
     uint32_t d = word & kDistMask;
+    if (dist_wide && type == kMatch) d = dist_wide[pos];
     int len = int((word >> kLenShift) & 0x1FF);
     if (len < 1 || pos + len > n) return -1;
     int ism = L.o[O_IS_MATCH] + (ctx << L.pbm());
@@ -382,7 +388,7 @@ int64_t meg_optparse_viterbi(
     const int32_t* cand_dist, const int32_t* cand_len, int32_t M,
     const int32_t* rank, const int32_t* sparse, int32_t K,
     const int64_t* log2tab, const int32_t* offsets, int64_t n_offsets,
-    uint32_t* slab_out) {
+    uint32_t* slab_out, uint32_t* dist_wide_out) {
   if (n_offsets < O_COUNT || n <= 0 || nwin <= 0) return -1;
   Layout L{offsets};
   const int max_len_total = offsets[O_MATCH_LEN_MAX];
@@ -496,8 +502,10 @@ int64_t meg_optparse_viterbi(
 
   // backtrack: every node's state/backptr was written by the winning
   // arrival, so the reverse walk reconstructs a consistent parse
-  for (int64_t i = 0; i < n; ++i)
+  for (int64_t i = 0; i < n; ++i) {
     slab_out[i] = (1u << kLenShift);  // literal, len 1
+    if (dist_wide_out) dist_wide_out[i] = 0;
+  }
   int64_t pos = n;
   while (pos > 0) {
     int len = bp_len[pos];
@@ -506,9 +514,31 @@ int64_t meg_optparse_viterbi(
     int64_t at = pos - len;
     slab_out[at] = (d & kDistMask) | (uint32_t(len) << kLenShift) |
                    (uint32_t(type) << kTypeShift);
+    if (dist_wide_out) dist_wide_out[at] = d;
     pos = at;
   }
   return cost[size_t(n)];
+}
+
+// Kasai's LCP construction (match/suffix.py lcp_array semantics) —
+// the Python loop is the index-build bottleneck past ~1 MiB.
+void meg_lcp(const uint8_t* data, int64_t n, const int32_t* sa,
+             int32_t* lcp_out) {
+  std::vector<int64_t> rank(static_cast<size_t>(n));
+  for (int64_t i = 0; i < n; ++i) rank[size_t(sa[i])] = i;
+  int64_t h = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t r = rank[size_t(i)];
+    lcp_out[r] = 0;
+    if (r > 0) {
+      int64_t j = sa[r - 1];
+      while (i + h < n && j + h < n && data[i + h] == data[j + h]) ++h;
+      lcp_out[r] = int32_t(h);
+      if (h) --h;
+    } else {
+      h = 0;
+    }
+  }
 }
 
 }  // extern "C"

@@ -218,12 +218,18 @@ class Encoder:
         self.pos += length
 
 
-def walk_slab(slab: np.ndarray):
-    """Yield (position, type, dist, len) for each live packet."""
+def walk_slab(slab: np.ndarray, dists=None):
+    """Yield (position, type, dist, len) for each live packet.
+
+    dists: optional full-width per-position MATCH distances (wide-block
+    mode — blocks beyond the packed format's 1 MiB dist cap)."""
     ptype, dist, length, _ = P.unpack_np(slab)
     pos, n = 0, len(slab)
     while pos < n:
-        yield pos, int(ptype[pos]), int(dist[pos]), int(length[pos])
+        d = int(dist[pos])
+        if dists is not None and ptype[pos] == P.MATCH:
+            d = int(dists[pos])
+        yield pos, int(ptype[pos]), d, int(length[pos])
         pos += int(length[pos])
 
 
@@ -242,11 +248,15 @@ def lzma_header(data_size: int, lc=0, lp=0, pb=0, dict_size=0x400000) -> bytes:
 
 
 def emit(data: bytes, slab: np.ndarray, dict_size=0x400000,
-         lc: int = 0) -> bytes:
+         lc: int = 0, dists=None) -> bytes:
     """Produce a complete .lzma (LZMA-alone) stream for the parse."""
+    # the header's dict size must cover every match distance (wide
+    # blocks can exceed the 4 MiB default)
+    while dict_size < len(data):
+        dict_size <<= 1
     sink = RangeSink()
     enc = Encoder(data, sink, lc=lc)
-    for _, t, d, l in walk_slab(slab):
+    for _, t, d, l in walk_slab(slab, dists):
         enc.encode_packet(t, d, l)
     return lzma_header(len(data), lc=lc,
                        dict_size=dict_size) + sink.flush()

@@ -1,4 +1,4 @@
-"""enwik8-scale evidence: a deterministic >=4 MiB corpus through the
+"""enwik8-scale evidence (block_size via argv[3]; > 1 MiB = wide pipeline): a deterministic >=4 MiB corpus through the
 full product pipeline (block split, per-block optimum parse / anneal,
 .mlz container, full decode verification), vs xz -9e and gzip -9.
 
@@ -22,6 +22,7 @@ import time
 
 MOVES_PER_BLOCK = int(sys.argv[1]) if len(sys.argv) > 1 else 0
 LC = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+BLOCK = int(sys.argv[3]) if len(sys.argv) > 3 else (1 << 20)
 TARGET = 4 << 20
 
 _FILES = (
@@ -56,7 +57,7 @@ def main():
     from megalania_tpu.anneal.config import AnnealConfig
 
     data = build_corpus()
-    cfg = AnnealConfig(chains=128, block_size=1 << 20, lc=LC,
+    cfg = AnnealConfig(chains=128, block_size=BLOCK, lc=LC,
                        init="optimal", accept="greedy")
     n_blocks = -(-len(data) // cfg.block_size)
     t0 = time.time()
