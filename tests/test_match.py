@@ -99,3 +99,22 @@ def test_candidate_entries_are_valid_matches():
             src = pos - d - 1
             assert src >= 0 and l >= 2
             assert data[src:src + l] == data[pos:pos + l]
+
+
+def test_native_lcp_parity():
+    """meg_lcp (C++) must equal the numpy Kasai on real+random bytes
+    (build_lce switches to it past 64 KiB)."""
+    import pytest
+    from megalania_tpu.match import suffix
+    try:
+        from megalania_tpu.match import optparse_native as on
+        if not on.available():
+            pytest.skip("native library not built")
+    except Exception:
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(11)
+    blob = (open("SURVEY.md", "rb").read()[:3000]
+            + bytes(rng.integers(0, 8, 3000, dtype=np.uint8)))
+    arr = np.frombuffer(blob, np.uint8)
+    sa = suffix.suffix_array(arr)
+    assert np.array_equal(on.lcp(arr, sa), suffix.lcp_array(arr, sa))
