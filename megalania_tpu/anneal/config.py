@@ -55,8 +55,8 @@ class AnnealConfig:
     # snapshots track the adaptive model closely.
     opt_candidates: int = 64
     opt_walk: int = 1024
-    opt_passes: int = 8
-    opt_window: int = 512
+    opt_passes: int = 16
+    opt_window: int = 0      # 0 = sweep {256, 512, 1024}, keep best
     # initial parse: "greedy" (longest-match walk over the candidate
     # table, SURVEY §7), "literal" (the reference's all-literals,
     # main.c:71), "mixed" (greedy/literal chain split — the first
@@ -76,7 +76,12 @@ class AnnealConfig:
     # weak starts that need escapes; "greedy" = accept only strict
     # improvements — right for strong seeds (measured: from an optimum-
     # parse seed the cooled schedule's exploratory acceptances are net
-    # destructive, PERF_64K r4: full budget ended WORSE than 25%).
+    # destructive, PERF_64K r4: full budget ended WORSE than 25%);
+    # "mixed" = an acceptance RACE — even global chain ids run cooled,
+    # odd run greedy, sharing one global best (restart reseeds cross-
+    # pollinate the arms).  Measured per-file winners split between the
+    # two rules at matched budget (PERF.md r5), so the race is the
+    # honest single config.
     accept: str = "cooled"
 
     # parallel structure
@@ -139,9 +144,10 @@ class AnnealConfig:
             raise ValueError("proposals must be >= 1")
         if not (1 <= self.sublens <= 10):
             raise ValueError("sublens must be in 1..10 (moves._sublens)")
-        if min(self.opt_candidates, self.opt_walk, self.opt_passes,
-               self.opt_window) < 1:
+        if min(self.opt_candidates, self.opt_walk, self.opt_passes) < 1:
             raise ValueError("opt_* fields must be >= 1")
+        if self.opt_window < 0:
+            raise ValueError("opt_window must be >= 0 (0 = auto sweep)")
         if self.chain_block % 8 != 0:
             raise ValueError("chain_block must be a sublane multiple (8)")
         if self.kernel not in ("auto", "xla", "pallas2"):
@@ -158,7 +164,7 @@ class AnnealConfig:
         if self.lrep_fallback not in ("litsrep", "match"):
             raise ValueError(
                 f"unknown lrep_fallback {self.lrep_fallback!r}")
-        if self.accept not in ("cooled", "greedy"):
+        if self.accept not in ("cooled", "greedy", "mixed"):
             raise ValueError(f"unknown accept {self.accept!r}")
         if self.init not in ("greedy", "literal", "mixed", "optimal",
                              "mixed_opt"):

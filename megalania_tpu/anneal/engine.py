@@ -497,6 +497,14 @@ def _chains_iter(state: AnnealState, ctx: BlockContext, step,
     if cfg.accept == "greedy":
         p_trans = jnp.float32(0.0)
     trans = jax.vmap(jax.random.uniform)(k_acc) < p_trans
+    if cfg.accept == "mixed":
+        # acceptance race: even GLOBAL chain ids keep the cooled
+        # transition, odd ids anneal greedily (global ids so mesh
+        # sharding reproduces the single-device trajectory)
+        gid = jnp.arange(Cn)
+        if axis_name is not None:
+            gid = gid + jax.lax.axis_index(axis_name) * Cn
+        trans = trans & (gid % 2 == 0)
     first = chains.cost_hi == fp.INF_HI
     better = fp.less(hi, lo, chains.cost_hi, chains.cost_lo)
     accept = first | better | trans

@@ -368,8 +368,12 @@ def build_optimal_slab_native(data, tab: C_.CandidateTable, lc: int = 0,
     if index is None:
         from .suffix import build_lce
         index = build_lce(data)
-    win = max(256, min(win_size, max(n, 1)))
-    nwin = -(-n // win) if n else 1
+    # win_size=0: sweep the measured-good snapshot windows and keep the
+    # exact-cost best — the per-input optimum window varies (binary
+    # favored 256, text 512/1024; up to 28 B spread at n=2048)
+    wins = ((256, 512, 1024) if win_size == 0
+            else (win_size,))
+    wins = sorted({max(256, min(w, max(n, 1))) for w in wins})
 
     def parse(pw, ws):
         out = on.viterbi_parse(data, pw, tab.dist, tab.length,
@@ -378,17 +382,21 @@ def build_optimal_slab_native(data, tab: C_.CandidateTable, lc: int = 0,
         return out if wide else (out, None)
 
     fresh = T.init_probs_np(lc=lc)[None, :]
-    slab, dw = parse(fresh, 0)
-    best, best_cost = (slab, dw), None
-    for _ in range(max(0, passes - 1)):
-        cost, _, snaps = on.cost_train(data, slab, lc=lc, nwin=nwin,
-                                       win_size=win, dists=dw)
+    first, first_dw = parse(fresh, 0)
+    best, best_cost = (first, first_dw), None
+    for win in wins:
+        nwin = -(-n // win)
+        slab, dw = first, first_dw
+        for _ in range(max(0, passes - 1)):
+            cost, _, snaps = on.cost_train(data, slab, lc=lc, nwin=nwin,
+                                           win_size=win, dists=dw)
+            if best_cost is None or cost < best_cost:
+                best, best_cost = (slab, dw), cost
+            slab, dw = parse(snaps, win)
+        cost, _ = on.cost_train(data, slab, lc=lc, dists=dw)
         if best_cost is None or cost < best_cost:
             best, best_cost = (slab, dw), cost
-        slab, dw = parse(snaps, win)
-    cost, _ = on.cost_train(data, slab, lc=lc, dists=dw)
-    if best_cost is not None and best_cost < cost:
-        slab, dw = best
+    slab, dw = best
     return (slab, dw) if wide else slab
 
 
