@@ -47,7 +47,11 @@ def measure(n, chains, iters, data_path, cb_cap=512, init=None):
     if chains % 128 == 0:
         cb = max(d for d in (cb_cap, 384, 256, 128)
                  if d <= cb_cap and chains % d == 0)
-    kwargs = {} if init is None else {"init": init}
+    # base rows pin init="mixed": the historical early-phase measurement
+    # (cross-round comparability); the converged row passes "optimal".
+    # accept pins the r4 "cooled" rule for the same reason.
+    kwargs = {"init": "mixed" if init is None else init,
+              "accept": "cooled"}
     cfg = AnnealConfig(
         chains=chains, chain_block=cb,
         kernel=os.environ.get("BENCH_KERNEL", "auto"),

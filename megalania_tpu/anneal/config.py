@@ -63,8 +63,10 @@ class AnnealConfig:
     # epoch's best-exchange keeps whichever start suits the data),
     # "optimal" (price-driven shortest-path DP, match/optparse.py —
     # xz-class parse quality; the annealer becomes a strict refiner), or
-    # "mixed_opt" (optimal/literal chain split).
-    init: str = "mixed"
+    # "mixed_opt" (optimal/literal chain split).  "optimal" is the
+    # r5 default: the native Viterbi seed dominated every measured
+    # scale (2 KiB slices through 1 MiB blocks, PERF.md r5).
+    init: str = "optimal"
     # fraction of chains seeded from the greedy parse under init="mixed"
     # (rounded to eighths; the rest start all-literals).  0.5 is the
     # historical half/half; lower favors text, higher favors binary
@@ -80,8 +82,10 @@ class AnnealConfig:
     # "mixed" = an acceptance RACE — even global chain ids run cooled,
     # odd run greedy, sharing one global best (restart reseeds cross-
     # pollinate the arms).  Measured per-file winners split between the
-    # two rules at matched budget (PERF.md r5), so the race is the
-    # honest single config.
+    # two rules at matched budget under the PRE-sweep seeds; with the
+    # window-swept seeds the full-width cooled rule won or tied every
+    # corpus file (PERF.md r5), so "cooled" stays the default and the
+    # race remains an option for unknown data.
     accept: str = "cooled"
 
     # parallel structure

@@ -65,7 +65,7 @@ def main(argv=None):
     c.add_argument("--top-k", type=int, default=20)
     c.add_argument("--sublens", type=int, default=3,
                    help="candidate lengths evaluated per match entry")
-    c.add_argument("--init", default="mixed",
+    c.add_argument("--init", default="optimal",
                    choices=["greedy", "literal", "mixed", "optimal",
                             "mixed_opt"],
                    help="initial parse: greedy longest-match, the "
@@ -101,9 +101,11 @@ def main(argv=None):
                    "partial re-cost; random = per-chain uniform sites, "
                    "always a full walk)")
     c.add_argument("--accept", default="cooled",
-                   choices=["cooled", "greedy"],
-                   help="acceptance rule (greedy = improvements only: "
-                   "the polish mode for --init optimal seeds)")
+                   choices=["cooled", "greedy", "mixed"],
+                   help="acceptance rule: cooled = reference cooling "
+                   "(the measured matched-budget winner from swept "
+                   "seeds), greedy = improvements only, mixed = half "
+                   "the chains each (race, shared best)")
     c.add_argument("--lrep-fallback", default="match",
                    choices=["litsrep", "match"],
                    help="repair fallback for unrepairable long reps")

@@ -85,8 +85,11 @@ def test_metrics_jsonl(cfg, tmp_path):
 
 
 def test_config_guards():
+    # blocks beyond the packed 1 MiB cap are allowed (wide DP-only
+    # pipeline, tests/test_wide.py) up to the wide limit:
+    AnnealConfig(block_size=(1 << 20) + 1)
     with pytest.raises(ValueError):
-        AnnealConfig(block_size=(1 << 20) + 1)   # > MAX_BLOCK
+        AnnealConfig(block_size=(64 << 20) + 1)  # > MAX_WIDE_BLOCK
     with pytest.raises(ValueError):
         AnnealConfig(chain_block=12)             # not sublane multiple
     with pytest.raises(ValueError):
