@@ -29,7 +29,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from megalania_tpu import compressor
 from megalania_tpu.anneal.config import AnnealConfig
 
-N = 1 << 16
+N = int(_os.environ.get("RUN64K_N", 1 << 16))
 CHAINS = int(sys.argv[2]) if len(sys.argv) > 2 else 512
 MOVES = int(sys.argv[1]) if len(sys.argv) > 1 else 128 * CHAINS
 LC = int(sys.argv[3]) if len(sys.argv) > 3 else 0
