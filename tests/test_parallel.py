@@ -219,3 +219,33 @@ def test_mesh_resume_after_partial(tmp_path, monkeypatch):
                                   checkpoint_dir=ckdir, resume=True)
     assert resumed == straight
     assert compressor.decompress(resumed) == data
+
+
+def test_mesh_trajectory_accept_mixed():
+    """The acceptance race (accept='mixed') keys the cooled/greedy arm
+    split on GLOBAL chain ids; the mesh trajectory must stay
+    bit-identical to single-device (the gid + axis_index arithmetic)."""
+    import numpy as np
+    from megalania_tpu.anneal import engine
+    from megalania_tpu.anneal.config import AnnealConfig
+    from megalania_tpu.parallel import mesh as M
+
+    cfg = AnnealConfig(chains=16, max_candidates=8, max_walk=32, top_k=12,
+                       accept="mixed")
+    datas = [b"acceptance race mesh equality payload " * 10,
+             (bytes(range(256)) + b"acceptance race equality " * 12)[:380]]
+    ctxs = [engine.make_context(d, cfg) for d in datas]
+    states = [engine.init_state(c, cfg) for c in ctxs]
+
+    mesh = M.make_mesh(2)
+    step = M.sharded_step(mesh, cfg, 6)
+    out = step(M.replicate_for_blocks(states), M.replicate_for_blocks(ctxs))
+
+    for bi, (st, cx) in enumerate(zip(states, ctxs)):
+        ref = engine.run_iters(st, cx, cfg, 6)
+        assert np.array_equal(np.asarray(ref.best_slab),
+                              np.asarray(out.best_slab)[bi])
+        assert np.array_equal(np.asarray(ref.chains.cost_hi),
+                              np.asarray(out.chains.cost_hi)[bi])
+        assert np.array_equal(np.asarray(ref.chains.slab),
+                              np.asarray(out.chains.slab)[bi])
