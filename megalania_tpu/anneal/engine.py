@@ -216,25 +216,10 @@ def make_context(data: bytes, cfg: AnnealConfig) -> BlockContext:
     corr = pallas_repair2.log2_correction(
         interpret=jax.default_backend() != "tpu")
     if cfg.init in ("optimal", "mixed_opt"):
+        # the DP is host-side: seed_slab builds its own (far wider)
+        # Pareto table than the kernels' VMEM-resident one above
         from ..match import optparse
-        try:
-            from ..match import optparse_native as on
-            native = on.available()
-        except Exception:  # noqa: BLE001 — no toolchain
-            native = False
-        if native:
-            # the DP is host-side: it affords a far wider Pareto table
-            # than the kernels' VMEM-resident one built above
-            opt_tab = (tab if (cfg.opt_candidates, cfg.opt_walk)
-                       == (cfg.max_candidates, cfg.max_walk)
-                       else C_.build_candidates(arr, cfg.opt_candidates,
-                                                cfg.opt_walk, idx))
-            init_slab = optparse.build_optimal_slab_native(
-                arr, opt_tab, lc=cfg.lc, passes=cfg.opt_passes,
-                win_size=cfg.opt_window, index=idx)
-        else:
-            init_slab = optparse.build_optimal_slab(arr, tab, lc=cfg.lc,
-                                                    index=idx)
+        init_slab, _ = optparse.seed_slab(arr, cfg, index=idx)
     elif cfg.init in ("greedy", "mixed"):
         init_slab = C_.greedy_slab(arr, tab)
     else:

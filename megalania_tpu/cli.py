@@ -76,6 +76,15 @@ def main(argv=None):
     c.add_argument("--mixed-greedy-frac", type=float, default=0.5,
                    help="greedy share of chains under --init mixed "
                    "(rounded to eighths)")
+    c.add_argument("--opt-candidates", type=int, default=64,
+                   help="Pareto table width for the optimum-parse seed")
+    c.add_argument("--opt-walk", type=int, default=1024,
+                   help="occurrence-chain walk bound for the seed table")
+    c.add_argument("--opt-passes", type=int, default=16,
+                   help="price-feedback passes (converges by ~24)")
+    c.add_argument("--opt-window", type=int, default=0,
+                   help="price-snapshot window bytes (0 = sweep "
+                   "{256,512,1024} and keep the exact-cost best)")
     c.add_argument("--lc", type=int, default=0,
                    help="literal context bits (xz defaults to 3; the "
                    "reference only supports 0). lc<=2 still runs the "
@@ -151,6 +160,8 @@ def main(argv=None):
             site_schedule=args.site_schedule, lc=args.lc,
             mixed_greedy_frac=args.mixed_greedy_frac,
             accept=args.accept,
+            opt_candidates=args.opt_candidates, opt_walk=args.opt_walk,
+            opt_passes=args.opt_passes, opt_window=args.opt_window,
         )
         progress = None if args.quiet else _progress_printer(time.time())
         metrics = None

@@ -44,12 +44,14 @@ def reference_budget(n: int, cfg: AnnealConfig) -> int:
 
 def _seed_slab(data: bytes, cfg: AnnealConfig):
     """Host-only initial parse for the DP-only (total_moves=0) mode —
-    the same seeds make_context builds, without touching a device.
+    the same seed builder make_context uses (match/optparse.seed_slab),
+    without touching a device.
 
     Returns (slab, dists): dists is None for packed-format blocks and
     the full-width distance array for wide (> 1 MiB) blocks, which
     always use the optimum parse (the only wide-capable builder)."""
     from .match import candidates as C_
+    from .match import optparse
     from .match.suffix import build_lce
     from .models import packets as P
 
@@ -57,29 +59,9 @@ def _seed_slab(data: bytes, cfg: AnnealConfig):
     wide = len(arr) > P.MAX_BLOCK
     if cfg.init == "literal" and not wide:
         return np.asarray(P.literal_slab(len(arr))), None
-    idx = build_lce(arr)
     if wide or cfg.init in ("optimal", "mixed_opt"):
-        from .match import optparse
-        try:
-            from .match import optparse_native as on
-            native = on.available()
-        except Exception:  # noqa: BLE001
-            native = False
-        if native:
-            tab = C_.build_candidates(arr, cfg.opt_candidates,
-                                      cfg.opt_walk, idx)
-            out = optparse.build_optimal_slab_native(
-                arr, tab, lc=cfg.lc, passes=cfg.opt_passes,
-                win_size=cfg.opt_window, index=idx, wide=wide)
-            return out if wide else (out, None)
-        if wide:
-            raise RuntimeError(
-                "wide (> 1 MiB) blocks need the native optparse "
-                "library (no C++ toolchain available)")
-        tab = C_.build_candidates(arr, cfg.max_candidates, cfg.max_walk,
-                                  idx)
-        return optparse.build_optimal_slab(arr, tab, lc=cfg.lc,
-                                           index=idx), None
+        return optparse.seed_slab(arr, cfg, wide=wide)
+    idx = build_lce(arr)
     tab = C_.build_candidates(arr, cfg.max_candidates, cfg.max_walk, idx)
     return C_.greedy_slab(arr, tab), None
 

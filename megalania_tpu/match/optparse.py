@@ -400,6 +400,40 @@ def build_optimal_slab_native(data, tab: C_.CandidateTable, lc: int = 0,
     return (slab, dw) if wide else slab
 
 
+def seed_slab(data, cfg, index=None, wide: bool = False):
+    """Config-driven optimum-parse seed — the single builder behind
+    both engine.make_context (device pipeline) and the compressor's
+    DP-only mode, so their seeds can never drift.
+
+    Returns (slab, dists); dists is None on the packed path.  Falls
+    back to the numpy DP (or raises, for wide blocks) when the native
+    library is unavailable."""
+    data = np.frombuffer(bytes(data), np.uint8) if isinstance(
+        data, (bytes, bytearray)) else np.asarray(data, np.uint8)
+    if index is None:
+        from .suffix import build_lce
+        index = build_lce(data)
+    try:
+        from . import optparse_native as on
+        native = on.available()
+    except Exception:  # noqa: BLE001 — no toolchain
+        native = False
+    if native:
+        tab = C_.build_candidates(data, cfg.opt_candidates,
+                                  cfg.opt_walk, index)
+        out = build_optimal_slab_native(
+            data, tab, lc=cfg.lc, passes=cfg.opt_passes,
+            win_size=cfg.opt_window, index=index, wide=wide)
+        return out if wide else (out, None)
+    if wide:
+        raise RuntimeError(
+            "wide (> 1 MiB) blocks need the native optparse library "
+            "(no C++ toolchain available)")
+    tab = C_.build_candidates(data, cfg.max_candidates, cfg.max_walk,
+                              index)
+    return build_optimal_slab(data, tab, lc=cfg.lc, index=index), None
+
+
 def build_optimal_slab(data, tab: C_.CandidateTable, lc: int = 0,
                        passes: int = 2, sublens: int = 8,
                        index=None) -> np.ndarray:
