@@ -450,7 +450,8 @@ def build_optimal_slab(data, tab: C_.CandidateTable, lc: int = 0,
         from . import optparse_native as on
         if on.available():
             return build_optimal_slab_native(
-                data, tab, lc=lc, passes=max(4, passes + 2), index=index)
+                data, tab, lc=lc, passes=max(8, passes + 2),
+                win_size=0, index=index)
     except Exception:  # noqa: BLE001 — fall back to the numpy DP
         pass
 
